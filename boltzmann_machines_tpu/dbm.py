@@ -1,0 +1,796 @@
+"""Deep Boltzmann Machine with PCD + mean-field variational inference,
+rebuilt TPU-first (capability parity with reference dbm.py:14-963).
+
+Design notes (vs. the TF1 reference):
+
+* The model state is one pytree: weights/biases per layer, momentum
+  accumulators, EMA sparsity means, and the **persistent Markov chains**
+  (``n_particles`` fantasy particles) -- all device-resident across the whole
+  training run.  The reference double-buffers particles in TF Variables
+  (dbm.py:361-383); functionally only the latest (v, H) matters and is
+  carried/checkpointed.
+* One epoch = one jitted ``lax.scan`` over minibatches.  Mean-field runs as a
+  ``lax.while_loop`` with an infinity-norm tolerance and update counting
+  (dbm.py:449-478); the PCD Gibbs chain is a ``lax.fori_loop`` with a traced
+  step count.  Batch and particle axes can be sharded over a device mesh --
+  the MF convergence predicate is a global reduction XLA turns into a psum.
+* Mean-field starts from the bottom-up doubled-input initialization
+  (dbm.py:436-444).  NOTE a deliberate divergence: the reference initializes
+  ``mu_new`` this way but its first sweep actually consumes the *previous
+  minibatch's* persisted ``mu`` as top-down context (dbm.py:449-467); we use
+  the documented initialization.  Both iterate to the same fixed point.
+* Per-layer sparsity uses the full EMA **vectors** -- the reference indexes a
+  scalar element ``q_means[i]`` / ``mu_means[i]`` of the running sums
+  (dbm.py:581-588), a bug we deliberately fix (penalty broadcast semantics
+  are otherwise preserved).
+* AIS (2-layer Bernoulli DBMs) anneals on the h1 state space with v and h2
+  analytically summed out (dbm.py:650-736); the beta sweep is a ``lax.scan``
+  with all ``n_runs`` chains vectorized (and shardable) on-device.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ebm import EnergyBasedModel
+from .layers import BaseLayer, BernoulliLayer
+from .utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
+                    write_during_training,
+                    log_sum_exp, log_diff_exp, log_mean_exp, log_std_exp)
+
+
+class DBM(EnergyBasedModel):
+    """Deep Boltzmann Machine trained by PCD with mean-field inference.
+
+    Parameters mirror the reference (dbm.py:89-99): built from a list of
+    pretrained RBMs (greedy layer-wise stacking with halving of intermediate
+    weights and bias averaging, dbm.py:266-291), trained with `n_particles`
+    persistent chains, per-epoch `learning_rate`/`momentum`/`n_gibbs_steps`
+    schedules, L2 + max-norm regularization, and per-layer sparsity targets.
+    """
+
+    def __init__(self, rbms=None,
+                 n_particles=100, v_particle_init=None, h_particles_init=None,
+                 n_gibbs_steps=5, max_mf_updates=10, mf_tol=1e-7,
+                 learning_rate=0.0005, momentum=0.9, max_epoch=10,
+                 batch_size=100, l2=0., max_norm=np.inf,
+                 sample_v_states=True, sample_h_states=None,
+                 sparsity_target=0.1, sparsity_cost=0., sparsity_damping=0.9,
+                 train_metrics_every_iter=10, val_metrics_every_epoch=1,
+                 verbose=False, save_after_each_epoch=True,
+                 display_filters=0, display_particles=0, v_shape=(28, 28),
+                 model_path='dbm_model/', *args, **kwargs):
+        super(DBM, self).__init__(model_path=model_path, *args, **kwargs)
+        self.n_layers_ = len(rbms) if rbms is not None else None
+        self.n_visible_ = None
+        self.n_hiddens_ = []
+        self.layers_config_ = None
+        self._v_layer = None
+        self._h_layers = None
+        self._W_init = self._vb_init = self._hb_init = None
+        self.load_rbms(rbms)
+
+        self.n_particles = n_particles
+        self._v_particle_init = v_particle_init
+        self._h_particles_init = h_particles_init
+
+        self.n_gibbs_steps = make_list_from(n_gibbs_steps)
+        self.max_mf_updates = max_mf_updates
+        self.mf_tol = mf_tol
+
+        self.learning_rate = make_list_from(learning_rate)
+        self.momentum = make_list_from(momentum)
+        self.max_epoch = max_epoch
+        self.batch_size = batch_size
+        self.l2 = l2
+        self.max_norm = max_norm
+
+        self.sample_v_states = sample_v_states
+        self.sample_h_states = sample_h_states or \
+            ([True] * self.n_layers_ if self.n_layers_ else None)
+
+        self.sparsity_target = make_list_from(sparsity_target)
+        self.sparsity_cost = make_list_from(sparsity_cost)
+        if self.n_layers_ is not None and self.n_layers_ > 1:
+            for x in (self.sparsity_target, self.sparsity_cost):
+                if len(x) == 1:
+                    x *= self.n_layers_
+        self.sparsity_damping = sparsity_damping
+
+        self.train_metrics_every_iter = train_metrics_every_iter
+        self.val_metrics_every_epoch = val_metrics_every_epoch
+        self.verbose = verbose
+        self.save_after_each_epoch = save_after_each_epoch
+
+        for nh in self.n_hiddens_:
+            assert nh >= display_filters
+        self.display_filters = display_filters
+        assert display_particles <= self.n_particles
+        self.display_particles = display_particles
+
+        self.v_shape = tuple(v_shape)
+        if len(self.v_shape) == 2:
+            self.v_shape = (self.v_shape[0], self.v_shape[1], 1)
+
+        self.epoch_ = 0
+        self.iter_ = 0
+        self.n_samples_generated_ = 0
+
+        self._state = None
+        self._programs = {}
+        self._mesh = None
+
+    # ================================================================== #
+    # construction from pretrained RBMs                                   #
+    # ================================================================== #
+    def load_rbms(self, rbms):
+        """Bind pretrained RBMs: record their weights as stacking inits and
+        adopt their unit layers (reference dbm.py:207-231)."""
+        if rbms is None:
+            return
+        self._rbms = rbms
+        self.n_layers_ = len(rbms)
+        self.n_visible_ = rbms[0].n_visible
+        self.n_hiddens_ = [r.n_hidden for r in rbms]
+
+        self._W_init, self._vb_init, self._hb_init = [], [], []
+        for r in rbms:
+            w = r.get_params_arrays(scope='weights')
+            self._W_init.append(np.asarray(w['W']))
+            self._vb_init.append(np.asarray(w['vb']))
+            self._hb_init.append(np.asarray(w['hb']))
+
+        self._v_layer = rbms[0]._v_layer
+        self._h_layers = [r._h_layer for r in rbms]
+        for L in [self._v_layer] + self._h_layers:
+            L.dtype = self.dtype
+        self.layers_config_ = [L.get_config()
+                               for L in [self._v_layer] + self._h_layers]
+        if getattr(self, 'sample_h_states', None) is None:
+            self.sample_h_states = [True] * self.n_layers_
+        self._state = None
+        self._programs = {}
+
+    def _ensure_layers(self):
+        if self._v_layer is None:
+            if self.layers_config_ is None:
+                raise RuntimeError('DBM has no layers: construct with '
+                                   '`rbms=[...]` or call `load_rbms`')
+            layers = [BaseLayer.from_config(c) for c in self.layers_config_]
+            self._v_layer = layers[0]
+            self._h_layers = layers[1:]
+
+    def _stacked_init(self):
+        """Compose DBM weights from RBM weights, halving intermediate layers
+        and averaging shared biases (dbm.py:266-291)."""
+        W_init, hb_init = [], []
+        vb_init = self._vb_init[0].copy()
+        for i in range(self.n_layers_):
+            W = self._W_init[i].copy()
+            vb = self._vb_init[i].copy()
+            hb = self._hb_init[i].copy()
+            if 0 < i < self.n_layers_ - 1:
+                W *= 0.5
+                vb *= 0.5
+                hb *= 0.5
+            W_init.append(W)
+            if i == 0:
+                hb_init.append(0.5 * hb)
+            else:
+                hb_init[i - 1] = hb_init[i - 1] + 0.5 * vb
+                hb_init.append(0.5 * hb if i < self.n_layers_ - 1 else hb)
+        return W_init, vb_init, hb_init
+
+    def _init_state(self):
+        self._ensure_layers()
+        dtype = self._jnp_dtype
+        L = self.n_layers_
+
+        if self._W_init is not None:
+            W_init, vb_init, hb_init = self._stacked_init()
+        else:
+            raise RuntimeError('DBM state requires pretrained RBM weights; '
+                               'construct with `rbms=[...]`')
+
+        key = self.make_prng_key()
+        kv, kvn, *khs = jax.random.split(key, 2 + L)
+
+        if self._v_particle_init is not None:
+            v = jnp.asarray(self._v_particle_init, dtype=dtype)
+        else:
+            v = self._v_layer.init(kv, self.n_particles, dtype=dtype)
+
+        H = []
+        for i in range(L):
+            if self._h_particles_init is not None and \
+                    self._h_particles_init[i] is not None:
+                H.append(jnp.asarray(self._h_particles_init[i], dtype=dtype))
+            else:
+                H.append(self._h_layers[i].init(khs[i], self.n_particles,
+                                                dtype=dtype))
+
+        self._state = {
+            'vb': jnp.asarray(vb_init, dtype=dtype),
+            'W': tuple(jnp.asarray(w, dtype=dtype) for w in W_init),
+            'hb': tuple(jnp.asarray(b, dtype=dtype) for b in hb_init),
+            'dvb': jnp.zeros_like(jnp.asarray(vb_init, dtype=dtype)),
+            'dW': tuple(jnp.zeros(w.shape, dtype=dtype) for w in W_init),
+            'dhb': tuple(jnp.zeros(b.shape, dtype=dtype) for b in hb_init),
+            'q_means': tuple(jnp.zeros((n,), dtype=dtype) for n in self.n_hiddens_),
+            'mu_means': tuple(jnp.zeros((n,), dtype=dtype) for n in self.n_hiddens_),
+            'v': v,
+            'H': tuple(H),
+        }
+
+    def _ensure_state(self):
+        self._ensure_layers()
+        if self._state is None:
+            self._init_state()
+
+    def _get_state_arrays(self):
+        self._ensure_state()
+        s = jax.device_get(self._state)
+        out = {'weights/vb': s['vb'],
+               'grads_accumulators/dvb': s['dvb'],
+               'negative_particles/v': s['v']}
+        for i in range(self.n_layers_):
+            out['weights/W_{0}'.format(i)] = s['W'][i]
+            out['weights/hb_{0}'.format(i)] = s['hb'][i]
+            out['grads_accumulators/dW_{0}'.format(i)] = s['dW'][i]
+            out['grads_accumulators/dhb_{0}'.format(i)] = s['dhb'][i]
+            out['hidden_means_accumulators/q_means_{0}'.format(i)] = s['q_means'][i]
+            out['hidden_means_accumulators/mu_means_{0}'.format(i)] = s['mu_means'][i]
+            out['negative_particles/H_{0}'.format(i)] = s['H'][i]
+        return out
+
+    def _set_state_arrays(self, arrays):
+        dtype = self._jnp_dtype
+        L = self.n_layers_
+        g = lambda k: jnp.asarray(arrays[k], dtype=dtype)
+        self._state = {
+            'vb': g('weights/vb'),
+            'W': tuple(g('weights/W_{0}'.format(i)) for i in range(L)),
+            'hb': tuple(g('weights/hb_{0}'.format(i)) for i in range(L)),
+            'dvb': g('grads_accumulators/dvb'),
+            'dW': tuple(g('grads_accumulators/dW_{0}'.format(i)) for i in range(L)),
+            'dhb': tuple(g('grads_accumulators/dhb_{0}'.format(i)) for i in range(L)),
+            'q_means': tuple(g('hidden_means_accumulators/q_means_{0}'.format(i))
+                             for i in range(L)),
+            'mu_means': tuple(g('hidden_means_accumulators/mu_means_{0}'.format(i))
+                              for i in range(L)),
+            'v': g('negative_particles/v'),
+            'H': tuple(g('negative_particles/H_{0}'.format(i)) for i in range(L)),
+        }
+
+    def set_params(self, **params):
+        self._programs = {}
+        return super(DBM, self).set_params(**params)
+
+    def set_mesh(self, mesh, data_axis='data'):
+        """Attach a device mesh: minibatches, persistent particles, and AIS
+        runs are sharded along `data_axis` (parameters replicated; gradient
+        and convergence reductions become ICI collectives)."""
+        self._mesh = (mesh, data_axis)
+        self._programs = {}
+        # reshard existing particle state
+        if self._state is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            m, ax = self._mesh
+            sh = NamedSharding(m, P(ax, None))
+            self._state['v'] = jax.device_put(self._state['v'], sh)
+            self._state['H'] = tuple(jax.device_put(h, sh)
+                                     for h in self._state['H'])
+        return self
+
+    def _put(self, X, batched=False):
+        X = jnp.asarray(X, dtype=self._jnp_dtype)
+        if self._mesh is None:
+            return X
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh, axis = self._mesh
+        spec = P(None, axis, None) if batched else P(axis, None)
+        return jax.device_put(X, NamedSharding(mesh, spec))
+
+    # ================================================================== #
+    # pure ops                                                            #
+    # ================================================================== #
+    def _particles_gibbs_step(self, state, v, H, key, sample=True):
+        """Layer-parallel block-Gibbs step on (v, H) using mixed fresh/stale
+        neighbors (reference dbm.py:385-427): layer i sees fresh layer i-1
+        and stale layer i+1; v is resampled last from fresh H[0]."""
+        L = self.n_layers_
+        keys = jax.random.split(key, L + 1)
+        H_new = list(H)
+
+        T = v @ state['W'][0]
+        if L >= 2:
+            T = T + H[1] @ state['W'][1].T
+        H_new[0] = self._h_layers[0].activation(T, state['hb'][0])
+        if sample and self.sample_h_states[0]:
+            H_new[0] = self._h_layers[0].sample(keys[0], H_new[0])
+
+        for i in range(1, L - 1):
+            T = H_new[i - 1] @ state['W'][i] + H[i + 1] @ state['W'][i + 1].T
+            H_new[i] = self._h_layers[i].activation(T, state['hb'][i])
+            if sample and self.sample_h_states[i]:
+                H_new[i] = self._h_layers[i].sample(keys[i], H_new[i])
+
+        if L >= 2:
+            T = H_new[-2] @ state['W'][-1]
+            H_new[-1] = self._h_layers[-1].activation(T, state['hb'][-1])
+            if sample and self.sample_h_states[-1]:
+                H_new[-1] = self._h_layers[-1].sample(keys[L - 1], H_new[-1])
+
+        T = H_new[0] @ state['W'][0].T
+        v_new = self._v_layer.activation(T, state['vb'])
+        if sample and self.sample_v_states:
+            v_new = self._v_layer.sample(keys[L], v_new)
+
+        return v_new, tuple(H_new)
+
+    def _particles_update(self, state, v, H, n_steps, key, sample=True):
+        """Run the persistent chains for `n_steps` (traced) Gibbs steps."""
+        def body(i, carry):
+            v, H = carry
+            return self._particles_gibbs_step(state, v, H,
+                                              jax.random.fold_in(key, i),
+                                              sample=sample)
+        return jax.lax.fori_loop(0, n_steps, body, (v, H))
+
+    def _mf_init(self, state, X):
+        """Bottom-up initialization with doubled inputs for non-top layers
+        (dbm.py:436-444)."""
+        mu = []
+        T = 2. * (X @ state['W'][0])
+        T = self._h_layers[0].activation(T, state['hb'][0])
+        mu.append(T)
+        for i in range(1, self.n_layers_):
+            T = T @ state['W'][i]
+            if i < self.n_layers_ - 1:
+                T = 2. * T
+            T = self._h_layers[i].activation(T, state['hb'][i])
+            mu.append(T)
+        return tuple(mu)
+
+    def _mf_sweep(self, state, X, mu):
+        """One damped-free mean-field sweep (gibbs step w/o sampling,
+        update_v=False)."""
+        L = self.n_layers_
+        mu_new = list(mu)
+        T = X @ state['W'][0]
+        if L >= 2:
+            T = T + mu[1] @ state['W'][1].T
+        mu_new[0] = self._h_layers[0].activation(T, state['hb'][0])
+        for i in range(1, L - 1):
+            T = mu_new[i - 1] @ state['W'][i] + mu[i + 1] @ state['W'][i + 1].T
+            mu_new[i] = self._h_layers[i].activation(T, state['hb'][i])
+        if L >= 2:
+            T = mu_new[-2] @ state['W'][-1]
+            mu_new[-1] = self._h_layers[-1].activation(T, state['hb'][-1])
+        return tuple(mu_new)
+
+    def _mf(self, state, X):
+        """Mean-field fixed point: sweep until the max infinity-norm change
+        across layers is <= mf_tol or `max_mf_updates` reached; returns
+        (mu, n_updates) (reference dbm.py:429-478)."""
+        dtype = X.dtype
+        tol = jnp.asarray(self.mf_tol, dtype=dtype)
+        mu0 = self._mf_init(state, X)
+
+        def cond(carry):
+            step, mu, delta = carry
+            return jnp.logical_and(step < self.max_mf_updates, delta > tol)
+
+        def body(carry):
+            step, mu, _ = carry
+            mu_new = self._mf_sweep(state, X, mu)
+            delta = jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(a - b)) for a, b in zip(mu_new, mu)]))
+            return step + 1, mu_new, delta
+
+        init = (jnp.zeros((), jnp.int32), mu0,
+                jnp.asarray(jnp.inf, dtype=dtype))
+        n_mf_updates, mu, _ = jax.lax.while_loop(cond, body, init)
+        return mu, n_mf_updates
+
+    def _reconstruction_means(self, state, mu0):
+        """p(v | h0 = mu0) means (dbm.py:624-632)."""
+        return self._v_layer.activation(mu0 @ state['W'][0].T, state['vb'])
+
+    def _apply_max_norm(self, W):
+        """Per-column max-norm constraint (dbm.py:511-513)."""
+        if not np.isfinite(self.max_norm):
+            return W
+        norm = jnp.linalg.norm(W, axis=0)
+        mx = jnp.asarray(self.max_norm, dtype=W.dtype)
+        return W * jnp.minimum(norm, mx) / jnp.maximum(norm, 1e-8)
+
+    def _train_step(self, state, X, lr, momentum, k, key):
+        """One PCD/MF parameter update (reference dbm.py:515-639)."""
+        L = self.n_layers_
+        dtype = X.dtype
+        N = jnp.asarray(X.shape[0], dtype=dtype)
+        M = jnp.asarray(self.n_particles, dtype=dtype)
+        l2 = jnp.asarray(self.l2, dtype=dtype)
+
+        # positive phase: variational mean-field on the minibatch
+        mu, n_mf_updates = self._mf(state, X)
+
+        # negative phase: advance persistent chains k Gibbs steps
+        v, H = self._particles_update(state, state['v'], state['H'], k, key)
+
+        # gradient estimates: data statistics / N minus particle stats / M
+        dvb = jnp.mean(X, axis=0) - jnp.mean(v, axis=0)
+        dW = [(X.T @ mu[0]) / N - (v.T @ H[0]) / M - l2 * state['W'][0]]
+        for i in range(1, L):
+            dW.append((mu[i - 1].T @ mu[i]) / N
+                      - (H[i - 1].T @ H[i]) / M - l2 * state['W'][i])
+        dhb = [jnp.mean(mu[i], axis=0) - jnp.mean(H[i], axis=0)
+               for i in range(L)]
+
+        # per-layer EMA sparsity on summed particle and variational means
+        # (vector form; reference's scalar indexing dbm.py:581-588 is a bug
+        # we deliberately fix -- see module docstring)
+        damping = jnp.asarray(self.sparsity_damping, dtype=dtype)
+        q_means, mu_means = [], []
+        for i in range(L):
+            cost = jnp.asarray(self.sparsity_cost[i], dtype=dtype)
+            target = jnp.asarray(self.sparsity_target[i], dtype=dtype)
+            q_new = damping * state['q_means'][i] + \
+                (1. - damping) * jnp.sum(H[i], axis=0)
+            m_new = damping * state['mu_means'][i] + \
+                (1. - damping) * jnp.sum(mu[i], axis=0)
+            q_means.append(q_new)
+            mu_means.append(m_new)
+            penalty = cost * (q_new - target) + cost * (m_new - target)
+            dW[i] = dW[i] - penalty
+            dhb[i] = dhb[i] - penalty
+
+        # momentum rule acc <- lr*(m*acc + g); W gets max-norm clipping
+        lr = jnp.asarray(lr, dtype=dtype)
+        momentum = jnp.asarray(momentum, dtype=dtype)
+        dvb_acc = lr * (momentum * state['dvb'] + dvb)
+        dW_acc = [lr * (momentum * state['dW'][i] + dW[i]) for i in range(L)]
+        dhb_acc = [lr * (momentum * state['dhb'][i] + dhb[i]) for i in range(L)]
+
+        W_new = [self._apply_max_norm(state['W'][i] + dW_acc[i])
+                 for i in range(L)]
+
+        new_state = {
+            'vb': state['vb'] + dvb_acc,
+            'W': tuple(W_new),
+            'hb': tuple(state['hb'][i] + dhb_acc[i] for i in range(L)),
+            'dvb': dvb_acc,
+            'dW': tuple(dW_acc),
+            'dhb': tuple(dhb_acc),
+            'q_means': tuple(q_means),
+            'mu_means': tuple(mu_means),
+            'v': v,
+            'H': H,
+        }
+
+        v_means = self._reconstruction_means(new_state, mu[0])
+        msre = jnp.mean(jnp.square(X - v_means))
+        return new_state, (msre, n_mf_updates)
+
+    # ================================================================== #
+    # jitted programs                                                     #
+    # ================================================================== #
+    def _program(self, name, builder):
+        if name not in self._programs:
+            self._programs[name] = builder()
+        return self._programs[name]
+
+    def _train_epoch_program(self):
+        def epoch_fn(state, X_batches, lr, momentum, k, key, iter0):
+            def scan_body(carry, X_batch):
+                state, it = carry
+                it = it + 1
+                new_state, (msre, n_mf) = self._train_step(
+                    state, X_batch, lr, momentum, k,
+                    jax.random.fold_in(key, it))
+                return (new_state, it), (msre, n_mf)
+            (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
+                                                X_batches)
+            return state, it, stacked
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def _train_step_program(self):
+        def step_fn(state, X_batch, lr, momentum, k, key, it):
+            return self._train_step(state, X_batch, lr, momentum, k,
+                                    jax.random.fold_in(key, it))
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _val_metrics_program(self):
+        def val_fn(state, X_batches):
+            def scan_body(_, X_batch):
+                mu, n_mf = self._mf(state, X_batch)
+                v_means = self._reconstruction_means(state, mu[0])
+                msre = jnp.mean(jnp.square(X_batch - v_means))
+                return _, (msre, n_mf)
+            _, stacked = jax.lax.scan(scan_body, 0, X_batches)
+            return stacked
+        return jax.jit(val_fn)
+
+    def _transform_program(self):
+        def transform_fn(state, X_batch):
+            mu, _ = self._mf(state, X_batch)
+            return mu[-1]
+        return jax.jit(transform_fn)
+
+    def _reconstruct_program(self):
+        def recon_fn(state, X_batch):
+            mu, _ = self._mf(state, X_batch)
+            return self._reconstruction_means(state, mu[0])
+        return jax.jit(recon_fn)
+
+    def _sample_v_program(self):
+        def sample_fn(state, k, key):
+            v, H = self._particles_update(state, state['v'], state['H'],
+                                          k, key, sample=True)
+            # one extra non-sampled sweep for activation means; the sampled
+            # H persists while v takes the means (reference dbm.py:641-648)
+            v_means, _ = self._particles_gibbs_step(
+                state, v, H, jax.random.fold_in(key, 2 ** 31 - 1), sample=False)
+            new_state = dict(state)
+            new_state['v'] = v_means
+            new_state['H'] = H
+            return new_state, v_means
+        return jax.jit(sample_fn, donate_argnums=(0,))
+
+    # ---------------------------- AIS --------------------------------- #
+    def _ais_unnorm_log_prob_h1(self, state, x, beta):
+        """log p~_beta on h1 with v, h2 summed out (dbm.py:650-660)."""
+        log_p = beta * (x @ state['hb'][0])
+        T2 = x @ state['W'][0].T + state['vb']
+        log_p += jnp.sum(jax.nn.softplus(beta * T2), axis=1)
+        T3 = x @ state['W'][1] + state['hb'][1]
+        log_p += jnp.sum(jax.nn.softplus(beta * T3), axis=1)
+        return log_p
+
+    def _ais_transition(self, state, x, beta, k, key):
+        """k-step tempered Gibbs transition on h1 (dbm.py:662-694)."""
+        def body(i, x):
+            ki = jax.random.fold_in(key, i)
+            kv, k2, kx = jax.random.split(ki, 3)
+            v = self._v_layer.activation(beta * (x @ state['W'][0].T),
+                                         beta * state['vb'])
+            if self.sample_v_states:
+                v = self._v_layer.sample(kv, v)
+            h2 = self._h_layers[1].activation(beta * (x @ state['W'][1]),
+                                              beta * state['hb'][1])
+            if self.sample_h_states[1]:
+                h2 = self._h_layers[1].sample(k2, h2)
+            T = v @ state['W'][0] + h2 @ state['W'][1].T
+            x_hat = self._h_layers[0].activation(beta * T,
+                                                 beta * state['hb'][0])
+            if self.sample_h_states[0]:
+                x_hat = self._h_layers[0].sample(kx, x_hat)
+            return x_hat
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def _ais_program(self, n_betas):
+        """Annealed importance sampling over `n_betas` intermediate
+        distributions, all `n_runs` chains vectorized (dbm.py:696-736)."""
+        def ais_fn(state, k, key, x0):
+            dtype = x0.dtype
+            delta_beta = jnp.asarray(1. / n_betas, dtype=dtype)
+
+            x1 = self._ais_transition(state, x0, delta_beta, k,
+                                      jax.random.fold_in(key, 0))
+            log_Z = -self._ais_unnorm_log_prob_h1(state, x1, 0.)
+
+            betas = (jnp.arange(1, n_betas, dtype=dtype) / n_betas)
+
+            def scan_body(carry, inp):
+                log_Z, x = carry
+                i, beta = inp
+                log_Z = log_Z + self._ais_unnorm_log_prob_h1(state, x, beta)
+                x_new = self._ais_transition(state, x, beta + delta_beta, k,
+                                             jax.random.fold_in(key, i))
+                log_Z = log_Z - self._ais_unnorm_log_prob_h1(state, x_new, beta)
+                return (log_Z, x_new), None
+
+            idx = jnp.arange(1, n_betas)
+            (log_Z, x_M), _ = jax.lax.scan(scan_body, (log_Z, x1),
+                                           (idx, betas))
+            log_Z = log_Z + self._ais_unnorm_log_prob_h1(state, x_M, 1.)
+            log_Z0 = (self.n_visible_ + self.n_hiddens_[0] +
+                      self.n_hiddens_[1]) * np.log(2.)
+            return log_Z + jnp.asarray(log_Z0, dtype=dtype)
+        return jax.jit(ais_fn)
+
+    def _log_proba_program(self):
+        """Variational lower bound -E(x, mu) + H(mu) (dbm.py:738-759)."""
+        def lp_fn(state, X_batch):
+            mu, _ = self._mf(state, X_batch)
+            t1 = X_batch @ state['W'][0]
+            minus_E = jnp.sum(t1 * mu[0], axis=1)
+            t2 = mu[0] @ state['W'][1]
+            minus_E += jnp.sum(t2 * mu[1], axis=1)
+            minus_E += X_batch @ state['vb']
+            minus_E += mu[0] @ state['hb'][0]
+            minus_E += mu[1] @ state['hb'][1]
+
+            s1 = jnp.clip(mu[0], 1e-7, 1. - 1e-7)
+            s2 = jnp.clip(mu[1], 1e-7, 1. - 1e-7)
+            S1 = -s1 * jnp.log(s1) - (1. - s1) * jnp.log(1. - s1)
+            S2 = -s2 * jnp.log(s2) - (1. - s2) * jnp.log(1. - s2)
+            ent = jnp.sum(S1, axis=1) + jnp.sum(S2, axis=1)
+            return minus_E + ent
+        return jax.jit(lp_fn)
+
+    # ================================================================== #
+    # fit loop                                                            #
+    # ================================================================== #
+    def _preprocess(self, X):
+        return np.asarray(X, dtype=self._np_dtype)
+
+    def _stage_batches(self, X):
+        X = self._preprocess(X)
+        B = self.batch_size
+        n_full = len(X) // B
+        full = X[:n_full * B].reshape(n_full, B, self.n_visible_)
+        rem = X[n_full * B:]
+        full = self._put(full, batched=True)
+        rem = self._put(rem) if len(rem) else None
+        return full, rem, n_full
+
+    def _fit(self, X, X_val=None, *args, **kwargs):
+        self._fit_key = self.make_prng_key()
+        epoch_prog = self._program('train_epoch', self._train_epoch_program)
+        step_prog = self._program('train_step', self._train_step_program)
+        full, rem, _ = self._stage_batches(X)
+
+        for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
+                                      max_epoch=self.max_epoch,
+                                      verbose=self.verbose):
+            lr = float(schedule_value(self.learning_rate, self.epoch_))
+            mom = float(schedule_value(self.momentum, self.epoch_))
+            k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+            ekey = jax.random.fold_in(self._fit_key, self.epoch_)
+
+            self._state, it, (msres, n_mfs) = epoch_prog(
+                self._state, full, lr, mom, k, ekey, self.iter_)
+            self.iter_ = int(it)
+            msres = np.asarray(msres)
+            n_mfs = np.asarray(n_mfs)
+            if rem is not None:
+                self.iter_ += 1
+                self._state, (m, n) = step_prog(self._state, rem, lr, mom, k,
+                                                ekey, self.iter_)
+                msres = np.append(msres, np.asarray(m))
+                n_mfs = np.append(n_mfs, np.asarray(n))
+
+            # reference logs metrics every `train_metrics_every_iter` steps
+            iters = self.iter_ - len(msres) + 1 + np.arange(len(msres))
+            mask = (iters % self.train_metrics_every_iter) == 0
+            train_msre = float(msres[mask].mean()) if mask.any() else None
+            train_n_mf = float(n_mfs[mask].mean()) if mask.any() else None
+
+            val_msre = val_n_mf = None
+            if X_val is not None and \
+                    self.epoch_ % self.val_metrics_every_epoch == 0:
+                val_msre, val_n_mf = self._run_val_metrics(X_val)
+
+            if self.verbose:
+                s = 'epoch: {0:{1}}/{2}'.format(
+                    self.epoch_, len(str(self.max_epoch)), self.max_epoch)
+                if train_msre:
+                    s += '; msre: {0:.5f}'.format(train_msre)
+                if train_n_mf:
+                    s += '; n_mf_upds: {0:.1f}'.format(train_n_mf)
+                if val_msre:
+                    s += '; val.msre: {0:.5f}'.format(val_msre)
+                if val_n_mf:
+                    s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
+                write_during_training(s)
+
+            if self.save_after_each_epoch:
+                self._save_model(global_step=self.epoch_)
+
+    def _run_val_metrics(self, X_val):
+        prog = self._program('val', self._val_metrics_program)
+        full, rem, _ = self._stage_batches(X_val)
+        msres, n_mfs = [], []
+        if full.shape[0]:
+            m, n = prog(self._state, full)
+            msres += list(np.asarray(m))
+            n_mfs += list(np.asarray(n))
+        if rem is not None:
+            m, n = prog(self._state, rem[None, ...])
+            msres += list(np.asarray(m))
+            n_mfs += list(np.asarray(n))
+        return float(np.mean(msres)), float(np.mean(n_mfs))
+
+    # ================================================================== #
+    # public API                                                          #
+    # ================================================================== #
+    def transform(self, X, np_dtype=None):
+        """Last-layer variational activations mu_L (reference dbm.py:859-872)."""
+        self._ensure_state()
+        np_dtype = np_dtype or self._np_dtype
+        prog = self._program('transform', self._transform_program)
+        G = np.zeros((len(X), self.n_hiddens_[-1]), dtype=np_dtype)
+        start = 0
+        for X_b in batch_iter(X, batch_size=self.batch_size,
+                              verbose=self.verbose, desc='transform'):
+            Xb = jnp.asarray(self._preprocess(X_b))
+            G_b = prog(self._state, Xb)
+            G[start:start + len(X_b)] = np.asarray(G_b, dtype=np_dtype)
+            start += len(X_b)
+        return G
+
+    def reconstruct(self, X):
+        """p(v | h0 = mu0(x)) reconstruction means (dbm.py:874-885)."""
+        self._ensure_state()
+        prog = self._program('reconstruct', self._reconstruct_program)
+        X_recon = np.zeros_like(np.asarray(X, dtype=self._np_dtype))
+        start = 0
+        for X_b in batch_iter(X, batch_size=self.batch_size,
+                              verbose=self.verbose, desc='reconstruction'):
+            Xb = jnp.asarray(self._preprocess(X_b))
+            R_b = prog(self._state, Xb)
+            X_recon[start:start + len(X_b)] = np.asarray(R_b)
+            start += len(X_b)
+        return X_recon
+
+    def sample_v(self, n_gibbs_steps=0, save_model=False):
+        """Visible activation means of the persistent chains after
+        `n_gibbs_steps` sampled sweeps (dbm.py:887-897).  Mutates (and
+        persists) the chains."""
+        self._ensure_state()
+        prog = self._program('sample_v', self._sample_v_program)
+        key = self.make_prng_key()
+        self._state, v = prog(self._state, int(n_gibbs_steps), key)
+        v = np.asarray(v)
+        if save_model:
+            self.n_samples_generated_ += int(n_gibbs_steps)
+            self._save_model()
+        return v
+
+    def log_Z(self, n_betas=100, n_runs=100, n_gibbs_steps=5):
+        """AIS estimate of the log partition function for a 2-layer binary
+        DBM: anneal on h1 with v, h2 summed out (dbm.py:899-939).
+
+        Returns (log_mean, (log_low, log_high), values) where low/high are
+        log(Z_mean -+ std(Z))."""
+        self._ensure_state()
+        assert self.n_layers_ == 2
+        for L in [self._v_layer] + self._h_layers:
+            assert isinstance(L, BernoulliLayer)
+
+        prog = self._program('ais_{0}'.format(n_betas),
+                             lambda: self._ais_program(n_betas))
+        key = self.make_prng_key()
+        k0, key = jax.random.split(key)
+        x0 = (jax.random.uniform(k0, (n_runs, self.n_hiddens_[0]),
+                                 dtype=self._jnp_dtype) < 0.5) \
+            .astype(self._jnp_dtype)
+        x0 = self._put(x0)
+        values = np.asarray(prog(self._state, int(n_gibbs_steps), key, x0))
+
+        log_mean = log_mean_exp(values)
+        log_std = log_std_exp(values, log_mean_exp_x=log_mean)
+        log_high = log_sum_exp([log_std, log_mean])
+        log_low = log_diff_exp([log_std, log_mean])[0]
+        return log_mean, (log_low, log_high), values
+
+    def log_proba(self, X_test, log_Z):
+        """Variational lower bound on log p(x) minus log_Z (dbm.py:941-957)."""
+        self._ensure_state()
+        assert self.n_layers_ == 2
+        for L in [self._v_layer] + self._h_layers:
+            assert isinstance(L, BernoulliLayer)
+
+        prog = self._program('log_proba', self._log_proba_program)
+        P = np.zeros(len(X_test))
+        start = 0
+        for X_b in batch_iter(X_test, batch_size=self.batch_size,
+                              verbose=self.verbose):
+            Xb = jnp.asarray(self._preprocess(X_b))
+            P_b = prog(self._state, Xb)
+            P[start:start + len(X_b)] = np.asarray(P_b)
+            start += len(X_b)
+        return P - log_Z

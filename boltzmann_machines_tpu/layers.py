@@ -1,0 +1,120 @@
+"""Stochastic unit layers as pure-function triples {init, activation, sample}
+over explicit `jax.random` keys (reference layers.py:8-89 semantics, rebuilt
+functionally: no sessions, no stateful distributions).
+
+Each layer object is a small config (unit count + distribution params); all
+math is pure jnp and safe to close over inside jit/scan/pallas call sites.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class BaseLayer(object):
+    """One layer of stochastic units."""
+
+    def __init__(self, n_units, dtype='float32'):
+        self.n_units = n_units
+        self.dtype = dtype
+
+    def init(self, key, batch_size, dtype=None):
+        """Randomly initialize states according to the layer's distribution."""
+        raise NotImplementedError
+
+    def activation(self, x, b):
+        """Mean activation given total input `x` (excluding bias) and bias."""
+        raise NotImplementedError
+
+    def sample(self, key, means):
+        """Draw states from the conditional distribution with these means."""
+        raise NotImplementedError
+
+    # serialization hooks so a DBM checkpoint can rebuild its layers
+    def get_config(self):
+        return {'class': self.__class__.__name__, 'n_units': int(self.n_units)}
+
+    @staticmethod
+    def from_config(cfg):
+        cfg = dict(cfg)
+        cls = {c.__name__: c for c in
+               (BernoulliLayer, MultinomialLayer, GaussianLayer)}[cfg.pop('class')]
+        return cls(**cfg)
+
+
+class BernoulliLayer(BaseLayer):
+    """Binary units: sigmoid activation, Bernoulli sampling
+    (reference layers.py:39-51)."""
+
+    def init(self, key, batch_size, dtype=None):
+        dtype = dtype or self.dtype
+        return jax.random.uniform(key, (batch_size, self.n_units), dtype=dtype)
+
+    def activation(self, x, b):
+        return jax.nn.sigmoid(x + b)
+
+    def sample(self, key, means):
+        u = jax.random.uniform(key, means.shape, dtype=means.dtype)
+        return (u < means).astype(means.dtype)
+
+
+class MultinomialLayer(BaseLayer):
+    """Single multinomial unit = `n_samples` softmax units with tied weights
+    (reference layers.py:54-70).
+
+    `activation` returns expected counts ``n_samples * softmax(x + b)``.
+    `sample` draws Multinomial(n_samples, p) per row.  (The reference
+    normalizes `means` by the *global* sum before sampling -- a per-row
+    rescaling by a constant factor that TF's Multinomial renormalizes away,
+    i.e. a sampling no-op; we use the equivalent per-row normalization.)
+    """
+
+    def __init__(self, n_units, n_samples=100, dtype='float32'):
+        super(MultinomialLayer, self).__init__(n_units, dtype=dtype)
+        self.n_samples = int(n_samples)
+
+    def init(self, key, batch_size, dtype=None):
+        dtype = dtype or self.dtype
+        t = jax.random.uniform(key, (batch_size, self.n_units), dtype=dtype)
+        return t / jnp.sum(t)
+
+    def activation(self, x, b):
+        return float(self.n_samples) * jax.nn.softmax(x + b, axis=-1)
+
+    def sample(self, key, means):
+        probs = means / jnp.sum(means, axis=-1, keepdims=True)
+        n = jnp.full(means.shape[:-1], self.n_samples, dtype=means.dtype)
+        draws = jax.random.multinomial(key, n, probs)
+        return draws.astype(means.dtype)
+
+    def get_config(self):
+        cfg = super(MultinomialLayer, self).get_config()
+        cfg['n_samples'] = int(self.n_samples)
+        return cfg
+
+
+class GaussianLayer(BaseLayer):
+    """Linear units with fixed standard deviation `sigma`
+    (reference layers.py:73-89): mean = x * sigma + b, Normal sampling."""
+
+    def __init__(self, n_units, sigma=1., dtype='float32'):
+        super(GaussianLayer, self).__init__(n_units, dtype=dtype)
+        self.sigma = np.asarray(sigma)
+
+    def init(self, key, batch_size, dtype=None):
+        dtype = dtype or self.dtype
+        t = jax.random.normal(key, (batch_size, self.n_units), dtype=dtype)
+        return t * jnp.asarray(self.sigma, dtype=dtype)
+
+    def activation(self, x, b):
+        return x * jnp.asarray(self.sigma, dtype=x.dtype) + b
+
+    def sample(self, key, means):
+        eps = jax.random.normal(key, means.shape, dtype=means.dtype)
+        return means + eps * jnp.asarray(self.sigma, dtype=means.dtype)
+
+    def get_config(self):
+        cfg = super(GaussianLayer, self).get_config()
+        cfg['sigma'] = np.asarray(self.sigma).tolist()
+        return cfg

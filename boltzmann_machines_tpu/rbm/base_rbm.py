@@ -1,0 +1,667 @@
+"""Generic RBM with k-step Contrastive Divergence, rebuilt TPU-first.
+
+Capability parity with reference rbm/base_rbm.py:12-700, redesigned as pure
+functional JAX programs instead of a TF1 graph:
+
+* model state is a pytree dict {W, vb, hb, dW, dvb, dhb, q_means} of device
+  arrays (reference base_rbm.py:271-327);
+* one *epoch* of CD-k training is a single jitted ``lax.scan`` over the
+  batched dataset (the reference pays one ``session.run`` per minibatch,
+  base_rbm.py:558-567 -- here the whole epoch stays on-device);
+* the Gibbs chain is a ``lax.fori_loop`` with a *traced* step count, so the
+  per-epoch ``n_gibbs_steps`` schedule never triggers recompilation
+  (reference's placeholder-driven while_loop, base_rbm.py:386-405);
+* randomness is explicit key-threading: one op seed per ``fit`` drawn from
+  the persisted host RNG, then ``fold_in(epoch)`` / ``fold_in(step)``
+  (reproducibility contract of reference base/tf_model.py:20-21);
+* training metrics (MSRE / PLL / L2) are computed under ``lax.cond`` only on
+  the steps where they are logged, so the hot loop stays pure compute.
+
+Semantics preserved exactly (see docstrings below): the momentum rule
+``acc <- lr * (m * acc + grad); param += acc`` (base_rbm.py:465-474), the
+EMA sparsity penalty on summed hidden means (456-462), dbm_first/dbm_last
+input doubling (244-262), PLL via a single randomly flipped unit scaled by
+n_visible (496-513), and the free-energy-gap overfitting monitor (592-621).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ebm import EnergyBasedModel
+from ..base import is_attribute_name
+from ..utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
+                     write_during_training)
+from ..utils.testing import assert_len, assert_shape
+
+
+class BaseRBM(EnergyBasedModel):
+    """A generic Restricted Boltzmann Machine trained with CD-k.
+
+    Parameters mirror the reference implementation (see module docstring);
+    highlights:
+
+    n_visible, n_hidden : positive int
+    W_init : float (stddev of zero-centered Gaussian) or (V, H) array
+    vb_init, hb_init : float or array
+    n_gibbs_steps, learning_rate, momentum : value or per-epoch schedule
+    max_epoch, batch_size, l2 : training params
+    sample_v_states, sample_h_states : bool
+        Use sampled states vs. means inside the chain (data-driven hidden
+        states are always available sampled).
+    dropout : None or float -- keep-probability of visible units.
+    sparsity_target, sparsity_cost, sparsity_damping : EMA sparsity penalty.
+    dbm_first, dbm_last : double inputs to compensate single-sided evidence
+        during DBM pre-training (Salakhutdinov & Hinton 2009).
+    metrics_config : dict -- which metrics (msre/pll/l2_loss/feg), formats,
+        and cadences to compute.
+    """
+
+    def __init__(self,
+                 n_visible=784, v_layer_cls=None, v_layer_params=None,
+                 n_hidden=256, h_layer_cls=None, h_layer_params=None,
+                 W_init=0.01, vb_init=0., hb_init=0., n_gibbs_steps=1,
+                 learning_rate=0.01, momentum=0.9, max_epoch=10, batch_size=10,
+                 l2=1e-4, sample_v_states=False, sample_h_states=True,
+                 dropout=None,
+                 sparsity_target=0.1, sparsity_cost=0., sparsity_damping=0.9,
+                 dbm_first=False, dbm_last=False,
+                 metrics_config=None, verbose=True, save_after_each_epoch=True,
+                 display_filters=0, display_hidden_activations=0,
+                 v_shape=(28, 28),
+                 model_path='rbm_model/', *args, **kwargs):
+        super(BaseRBM, self).__init__(model_path=model_path, *args, **kwargs)
+        self.n_visible = n_visible
+        self.n_hidden = n_hidden
+
+        v_layer_params = v_layer_params or {}
+        v_layer_params.setdefault('n_units', self.n_visible)
+        v_layer_params.setdefault('dtype', self.dtype)
+        h_layer_params = h_layer_params or {}
+        h_layer_params.setdefault('n_units', self.n_hidden)
+        h_layer_params.setdefault('dtype', self.dtype)
+        self._v_layer = v_layer_cls(**v_layer_params)
+        self._h_layer = h_layer_cls(**h_layer_params)
+
+        self.W_init = W_init
+        if hasattr(self.W_init, '__iter__'):
+            self.W_init = np.asarray(self.W_init)
+            assert_shape(self, 'W_init', (self.n_visible, self.n_hidden))
+
+        # it is often helpful to initialize i-th visible bias to
+        # logit(p_i) of the training-data marginal (Hinton's practical guide)
+        self.vb_init = vb_init
+        if hasattr(self.vb_init, '__iter__'):
+            self.vb_init = np.asarray(self.vb_init)
+            assert_len(self, 'vb_init', self.n_visible)
+
+        self.hb_init = hb_init
+        if hasattr(self.hb_init, '__iter__'):
+            self.hb_init = np.asarray(self.hb_init)
+            assert_len(self, 'hb_init', self.n_hidden)
+
+        # set by `init_from`
+        self._dW_init = None
+        self._dvb_init = None
+        self._dhb_init = None
+
+        self.n_gibbs_steps = make_list_from(n_gibbs_steps)
+        self.learning_rate = make_list_from(learning_rate)
+        self.momentum = make_list_from(momentum)
+        self.max_epoch = max_epoch
+        self.batch_size = batch_size
+        self.l2 = l2
+
+        self.sample_h_states = sample_h_states
+        self.sample_v_states = sample_v_states
+        self.dropout = dropout
+
+        self.sparsity_target = sparsity_target
+        self.sparsity_cost = sparsity_cost
+        self.sparsity_damping = sparsity_damping
+
+        self.dbm_first = dbm_first
+        self.dbm_last = dbm_last
+
+        self.metrics_config = dict(metrics_config or {})
+        self.metrics_config.setdefault('l2_loss', False)
+        self.metrics_config.setdefault('msre', False)
+        self.metrics_config.setdefault('pll', False)
+        self.metrics_config.setdefault('feg', False)
+        self.metrics_config.setdefault('l2_loss_fmt', '.2e')
+        self.metrics_config.setdefault('msre_fmt', '.4f')
+        self.metrics_config.setdefault('pll_fmt', '.3f')
+        self.metrics_config.setdefault('feg_fmt', '.2f')
+        self.metrics_config.setdefault('train_metrics_every_iter', 10)
+        self.metrics_config.setdefault('val_metrics_every_epoch', 1)
+        self.metrics_config.setdefault('feg_every_epoch', 2)
+        self.metrics_config.setdefault('n_batches_for_feg', 10)
+        self._train_metrics_names = ('l2_loss', 'msre', 'pll')
+        self._val_metrics_names = ('msre', 'pll')
+
+        self.verbose = verbose
+        self.save_after_each_epoch = save_after_each_epoch
+
+        assert self.n_hidden >= display_filters
+        self.display_filters = display_filters
+        assert self.n_hidden >= display_hidden_activations
+        self.display_hidden_activations = display_hidden_activations
+
+        self.v_shape = tuple(v_shape)
+        if len(self.v_shape) == 2:
+            self.v_shape = (self.v_shape[0], self.v_shape[1], 1)
+
+        # current epoch and iteration
+        self.epoch_ = 0
+        self.iter_ = 0
+
+        # device state pytree (None until first init/fit/load)
+        self._state = None
+        # cache of jitted programs, invalidated when hyperparams change
+        self._programs = {}
+        # optional device mesh for sharded execution (see set_mesh)
+        self._mesh = None
+
+    # ================================================================== #
+    # state management                                                    #
+    # ================================================================== #
+    def _init_state(self):
+        dtype = self._jnp_dtype
+        key = self.make_prng_key()
+
+        if hasattr(self.W_init, '__iter__'):
+            W = jnp.asarray(self.W_init, dtype=dtype)
+        else:
+            W = float(self.W_init) * jax.random.normal(
+                key, (self.n_visible, self.n_hidden), dtype=dtype)
+
+        vb = (jnp.asarray(self.vb_init, dtype=dtype)
+              if hasattr(self.vb_init, '__iter__')
+              else jnp.full((self.n_visible,), float(self.vb_init), dtype=dtype))
+        hb = (jnp.asarray(self.hb_init, dtype=dtype)
+              if hasattr(self.hb_init, '__iter__')
+              else jnp.full((self.n_hidden,), float(self.hb_init), dtype=dtype))
+
+        dW = (jnp.asarray(self._dW_init, dtype=dtype) if self._dW_init is not None
+              else jnp.zeros((self.n_visible, self.n_hidden), dtype=dtype))
+        dvb = (jnp.asarray(self._dvb_init, dtype=dtype) if self._dvb_init is not None
+               else jnp.zeros((self.n_visible,), dtype=dtype))
+        dhb = (jnp.asarray(self._dhb_init, dtype=dtype) if self._dhb_init is not None
+               else jnp.zeros((self.n_hidden,), dtype=dtype))
+
+        self._state = {
+            'W': W, 'vb': vb, 'hb': hb,
+            'dW': dW, 'dvb': dvb, 'dhb': dhb,
+            'q_means': jnp.zeros((self.n_hidden,), dtype=dtype),
+        }
+
+    def _ensure_state(self):
+        if self._state is None:
+            self._init_state()
+
+    def _get_state_arrays(self):
+        self._ensure_state()
+        s = jax.device_get(self._state)
+        return {
+            'weights/W': s['W'], 'weights/vb': s['vb'], 'weights/hb': s['hb'],
+            'grads_accumulators/dW': s['dW'],
+            'grads_accumulators/dvb': s['dvb'],
+            'grads_accumulators/dhb': s['dhb'],
+            'hidden_activations_means/q_means': s['q_means'],
+        }
+
+    def _set_state_arrays(self, arrays):
+        dtype = self._jnp_dtype
+        self._state = {
+            'W': jnp.asarray(arrays['weights/W'], dtype=dtype),
+            'vb': jnp.asarray(arrays['weights/vb'], dtype=dtype),
+            'hb': jnp.asarray(arrays['weights/hb'], dtype=dtype),
+            'dW': jnp.asarray(arrays['grads_accumulators/dW'], dtype=dtype),
+            'dvb': jnp.asarray(arrays['grads_accumulators/dvb'], dtype=dtype),
+            'dhb': jnp.asarray(arrays['grads_accumulators/dhb'], dtype=dtype),
+            'q_means': jnp.asarray(arrays['hidden_activations_means/q_means'],
+                                   dtype=dtype),
+        }
+
+    def set_params(self, **params):
+        self._programs = {}  # hyperparams may have changed -> rebuild programs
+        return super(BaseRBM, self).set_params(**params)
+
+    def set_mesh(self, mesh, data_axis='data'):
+        """Attach a ``jax.sharding.Mesh``: training batches are sharded along
+        `data_axis`; parameters are replicated and gradient statistics are
+        reduced by XLA-inserted collectives over ICI."""
+        self._mesh = (mesh, data_axis)
+        self._programs = {}
+        return self
+
+    # ================================================================== #
+    # pure ops (closures over static layer configs)                       #
+    # ================================================================== #
+    @property
+    def _propup_multiplier(self):
+        return 2. if self.dbm_first else 1.
+
+    @property
+    def _propdown_multiplier(self):
+        return 2. if self.dbm_last else 1.
+
+    def _means_h_given_v(self, state, v):
+        m = self._propup_multiplier
+        x = m * (v @ state['W'])
+        return self._h_layer.activation(x, m * state['hb'])
+
+    def _means_v_given_h(self, state, h):
+        m = self._propdown_multiplier
+        x = m * (h @ state['W'].T)
+        return self._v_layer.activation(x, m * state['vb'])
+
+    def _gibbs_chain(self, state, h_states, k, key):
+        """Run `k` block-Gibbs steps starting from hidden states.
+
+        `k` may be a traced scalar (per-epoch schedule); the loop is a
+        ``lax.fori_loop`` whose body XLA compiles once.  Returns the final
+        (v_states, v_means, h_states, h_means).
+        """
+        B = h_states.shape[0]
+        dtype = h_states.dtype
+        v0 = jnp.zeros((B, self.n_visible), dtype=dtype)
+
+        def body(i, carry):
+            _, _, h_st, _ = carry
+            ki = jax.random.fold_in(key, i)
+            kv, kh = jax.random.split(ki)
+            v_means = self._means_v_given_h(state, h_st)
+            v_st = (self._v_layer.sample(kv, v_means)
+                    if self.sample_v_states else v_means)
+            h_means = self._means_h_given_v(state, v_st)
+            h_st = (self._h_layer.sample(kh, h_means)
+                    if self.sample_h_states else h_means)
+            return (v_st, v_means, h_st, h_means)
+
+        carry = (v0, v0, h_states, jnp.zeros_like(h_states))
+        return jax.lax.fori_loop(0, k, body, carry)
+
+    def _maybe_dropout(self, key, X):
+        """Reference applies dropout to the input placeholder graph-wide
+        (base_rbm.py:417-418), so every consumer sees dropped inputs."""
+        if self.dropout is None:
+            return X
+        keep = float(self.dropout)
+        mask = jax.random.bernoulli(key, keep, X.shape)
+        return jnp.where(mask, X / keep, jnp.zeros_like(X))
+
+    def _cd_step(self, state, X_batch, lr, momentum, k, key):
+        """One CD-k parameter update; returns (new_state, aux) where aux
+        carries tensors needed by the metric branch."""
+        k_drop, k_h0, k_chain = jax.random.split(key, 3)
+        X = self._maybe_dropout(k_drop, X_batch)
+
+        h0_means = self._means_h_given_v(state, X)
+        h0_samples = self._h_layer.sample(k_h0, h0_means)
+        h_states = h0_samples if self.sample_h_states else h0_means
+
+        v_states, v_means, _, h_means = self._gibbs_chain(state, h_states, k, key=k_chain)
+
+        dtype = X.dtype
+        N = jnp.asarray(X.shape[0], dtype=dtype)
+        l2 = jnp.asarray(self.l2, dtype=dtype)
+
+        dW = (X.T @ h0_means - v_states.T @ h_means) / N - l2 * state['W']
+        dvb = jnp.mean(X - v_states, axis=0)
+        dhb = jnp.mean(h0_means - h_means, axis=0)
+
+        # EMA sparsity penalty on summed hidden means (base_rbm.py:456-462)
+        damping = jnp.asarray(self.sparsity_damping, dtype=dtype)
+        q_sum = jnp.sum(h_means, axis=0)
+        q_new = damping * state['q_means'] + (1. - damping) * q_sum
+        penalty = jnp.asarray(self.sparsity_cost, dtype=dtype) * \
+            (q_new - jnp.asarray(self.sparsity_target, dtype=dtype))
+        dhb = dhb - penalty
+        dW = dW - penalty  # broadcast over visible rows
+
+        # reference momentum rule: acc <- lr * (m * acc + grad); param += acc
+        lr = jnp.asarray(lr, dtype=dtype)
+        momentum = jnp.asarray(momentum, dtype=dtype)
+        dW_acc = lr * (momentum * state['dW'] + dW)
+        dvb_acc = lr * (momentum * state['dvb'] + dvb)
+        dhb_acc = lr * (momentum * state['dhb'] + dhb)
+
+        new_state = {
+            'W': state['W'] + dW_acc,
+            'vb': state['vb'] + dvb_acc,
+            'hb': state['hb'] + dhb_acc,
+            'dW': dW_acc, 'dvb': dvb_acc, 'dhb': dhb_acc,
+            'q_means': q_new,
+        }
+        aux = {'X': X, 'v_means': v_means}
+        return new_state, aux
+
+    def _pll(self, state, X, key):
+        """Pseudo-log-likelihood proxy: corrupt one random unit per sample,
+        PLL = n_visible * log_sigmoid(FE(x~) - FE(x)) with batch-mean free
+        energies (base_rbm.py:496-513)."""
+        B = X.shape[0]
+        idx = jax.random.randint(key, (B,), 0, self.n_visible)
+        rows = jnp.arange(B)
+        flipped = X.at[rows, idx].set(1. - X[rows, idx])
+        fe_x = self._free_energy(state, X, jax.random.fold_in(key, 1))
+        fe_flipped = self._free_energy(state, flipped, jax.random.fold_in(key, 2))
+        return jnp.asarray(self.n_visible, X.dtype) * \
+            jax.nn.log_sigmoid(fe_flipped - fe_x)
+
+    def _metrics(self, state, X, v_means, key):
+        dtype = X.dtype
+        out = {}
+        out['msre'] = jnp.mean(jnp.square(X - v_means))
+        out['pll'] = (self._pll(state, X, key) if self.metrics_config['pll']
+                      else jnp.zeros((), dtype))
+        out['l2_loss'] = jnp.asarray(self.l2, dtype) * 0.5 * jnp.sum(jnp.square(state['W']))
+        return out
+
+    # ================================================================== #
+    # jitted programs                                                     #
+    # ================================================================== #
+    def _program(self, name, builder):
+        if name not in self._programs:
+            self._programs[name] = builder()
+        return self._programs[name]
+
+    def _train_epoch_program(self):
+        every = int(self.metrics_config['train_metrics_every_iter'])
+
+        def epoch_fn(state, X_batches, lr, momentum, k, key, iter0):
+            def scan_body(carry, X_batch):
+                state, it = carry
+                it = it + 1
+                step_key = jax.random.fold_in(key, it)
+                new_state, aux = self._cd_step(state, X_batch, lr, momentum, k, step_key)
+                want = (it % every) == 0
+
+                def metric_branch(_):
+                    m = self._metrics(new_state, aux['X'], aux['v_means'],
+                                      jax.random.fold_in(step_key, 7))
+                    return (m['msre'], m['pll'], m['l2_loss'],
+                            jnp.ones((), jnp.bool_))
+
+                def zero_branch(_):
+                    z = jnp.zeros((), aux['X'].dtype)
+                    return (z, z, z, jnp.zeros((), jnp.bool_))
+
+                metrics = jax.lax.cond(want, metric_branch, zero_branch, None)
+                return (new_state, it), metrics
+
+            (state, it), stacked = jax.lax.scan(scan_body, (state, iter0), X_batches)
+            return state, it, stacked
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def _train_step_program(self):
+        """Single-step program for the remainder (partial) batch."""
+        every = int(self.metrics_config['train_metrics_every_iter'])
+
+        def step_fn(state, X_batch, lr, momentum, k, key, it):
+            step_key = jax.random.fold_in(key, it)
+            new_state, aux = self._cd_step(state, X_batch, lr, momentum, k, step_key)
+            want = (it % every) == 0
+
+            def metric_branch(_):
+                m = self._metrics(new_state, aux['X'], aux['v_means'],
+                                  jax.random.fold_in(step_key, 7))
+                return (m['msre'], m['pll'], m['l2_loss'], jnp.ones((), jnp.bool_))
+
+            def zero_branch(_):
+                z = jnp.zeros((), aux['X'].dtype)
+                return (z, z, z, jnp.zeros((), jnp.bool_))
+
+            metrics = jax.lax.cond(want, metric_branch, zero_branch, None)
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _val_metrics_program(self):
+        def val_fn(state, X_batches, k, key):
+            def scan_body(i, X_batch):
+                step_key = jax.random.fold_in(key, i)
+                kd, kc, kp = jax.random.split(step_key, 3)
+                X = self._maybe_dropout(kd, X_batch)
+                h0_means = self._means_h_given_v(state, X)
+                h0_samples = self._h_layer.sample(kc, h0_means)
+                h_states = h0_samples if self.sample_h_states else h0_means
+                _, v_means, _, _ = self._gibbs_chain(state, h_states, k,
+                                                     key=jax.random.fold_in(kc, 1))
+                msre = jnp.mean(jnp.square(X - v_means))
+                pll = (self._pll(state, X, kp) if self.metrics_config['pll']
+                       else jnp.zeros((), X.dtype))
+                return i + 1, (msre, pll)
+
+            _, stacked = jax.lax.scan(scan_body, 0, X_batches)
+            return stacked
+
+        return jax.jit(val_fn)
+
+    def _free_energy_program(self):
+        def fe_fn(state, X_batches, key):
+            def scan_body(i, X_batch):
+                ki = jax.random.fold_in(key, i)
+                kd, kf = jax.random.split(ki)
+                X = self._maybe_dropout(kd, X_batch)
+                return i + 1, self._free_energy(state, X, kf)
+            _, fes = jax.lax.scan(scan_body, 0, X_batches)
+            return fes
+        return jax.jit(fe_fn)
+
+    def _transform_program(self):
+        def transform_fn(state, X_batch, k, key):
+            kd, kh, kc = jax.random.split(key, 3)
+            X = self._maybe_dropout(kd, X_batch)
+            h0_means = self._means_h_given_v(state, X)
+            h0_samples = self._h_layer.sample(kh, h0_means)
+            h_states = h0_samples if self.sample_h_states else h0_means
+            _, _, _, h_means = self._gibbs_chain(state, h_states, k, key=kc)
+            return h_means
+        return jax.jit(transform_fn)
+
+    # ================================================================== #
+    # data staging                                                        #
+    # ================================================================== #
+    def _preprocess(self, X):
+        """Input hook (GaussianRBM divides by sigma, rbm.py:101-107)."""
+        return np.asarray(X, dtype=self._np_dtype)
+
+    def _stage_batches(self, X):
+        """Split X into (full_batches, remainder) device arrays; shard the
+        batch axis over the mesh if one is attached."""
+        X = self._preprocess(X)
+        B = self.batch_size
+        n_full = len(X) // B
+        full = X[:n_full * B].reshape(n_full, B, self.n_visible)
+        rem = X[n_full * B:]
+        full = self._put(full, batched=True)
+        rem = self._put(rem) if len(rem) else None
+        return full, rem, n_full
+
+    def _put(self, X, batched=False):
+        X = jnp.asarray(X, dtype=self._jnp_dtype)
+        if self._mesh is None:
+            return X
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh, axis = self._mesh
+        spec = P(None, axis, None) if batched else P(axis, None)
+        return jax.device_put(X, NamedSharding(mesh, spec))
+
+    # ================================================================== #
+    # fit / metrics loops                                                 #
+    # ================================================================== #
+    def _train_epoch(self, epoch_prog, step_prog, full, rem, base_key):
+        lr = float(schedule_value(self.learning_rate, self.epoch_))
+        mom = float(schedule_value(self.momentum, self.epoch_))
+        k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+        ekey = jax.random.fold_in(base_key, self.epoch_)
+
+        self._state, it, stacked = epoch_prog(
+            self._state, full, lr, mom, k, ekey, self.iter_)
+        self.iter_ = int(it)
+
+        msre_s, pll_s, l2_s, mask = [np.asarray(x) for x in stacked]
+        if rem is not None:
+            self.iter_ += 1
+            self._state, m = step_prog(self._state, rem, lr, mom, k, ekey,
+                                       self.iter_)
+            m = [np.asarray(x) for x in m]
+            msre_s = np.append(msre_s, m[0])
+            pll_s = np.append(pll_s, m[1])
+            l2_s = np.append(l2_s, m[2])
+            mask = np.append(mask, m[3])
+
+        results = {}
+        mask = mask.astype(bool)
+        if mask.any():
+            if self.metrics_config['msre']:
+                results['msre'] = float(msre_s[mask].mean())
+            if self.metrics_config['pll']:
+                results['pll'] = float(pll_s[mask].mean())
+            if self.metrics_config['l2_loss']:
+                results['l2_loss'] = float(l2_s[mask].mean())
+        return results
+
+    def _run_val_metrics(self, X_val):
+        prog = self._program('val', self._val_metrics_program)
+        k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+        key = jax.random.fold_in(self._fit_key, 100000 + self.epoch_)
+        full, rem, _ = self._stage_batches(X_val)
+        msres, plls = [], []
+        if full.shape[0]:
+            m, p = prog(self._state, full, k, key)
+            msres += list(np.asarray(m))
+            plls += list(np.asarray(p))
+        if rem is not None:
+            m, p = prog(self._state, rem[None, ...], k,
+                        jax.random.fold_in(key, 1))
+            msres += list(np.asarray(m))
+            plls += list(np.asarray(p))
+        results = {}
+        if self.metrics_config['msre']:
+            results['msre'] = float(np.mean(msres))
+        if self.metrics_config['pll']:
+            results['pll'] = float(np.mean(plls))
+        return results
+
+    def _run_feg(self, X, X_val):
+        """Free-energy gap between a fixed number of train and validation
+        batches -- an overfitting monitor (base_rbm.py:592-621)."""
+        prog = self._program('fe', self._free_energy_program)
+        n = self.metrics_config['n_batches_for_feg']
+        key = jax.random.fold_in(self._fit_key, 200000 + self.epoch_)
+
+        def mean_fe(data, key):
+            B = self.batch_size
+            n_batches = min(n, len(data) // B + (len(data) % B > 0))
+            fes = []
+            for i, Xb in zip(range(n_batches), batch_iter(data, B)):
+                if len(Xb) == B:
+                    fes.append(float(np.asarray(
+                        prog(self._state,
+                             self._put(self._preprocess(Xb)[None, ...], batched=True),
+                             jax.random.fold_in(key, i))[0])))
+                else:
+                    fes.append(float(np.asarray(
+                        prog(self._state,
+                             jnp.asarray(self._preprocess(Xb))[None, ...],
+                             jax.random.fold_in(key, i))[0])))
+            return np.mean(fes)
+
+        return mean_fe(X_val, jax.random.fold_in(key, 1)) - \
+            mean_fe(X, jax.random.fold_in(key, 0))
+
+    def _fit(self, X, X_val=None, *args, **kwargs):
+        self._fit_key = self.make_prng_key()
+        epoch_prog = self._program('train_epoch', self._train_epoch_program)
+        step_prog = self._program('train_step', self._train_step_program)
+        full, rem, _ = self._stage_batches(X)
+
+        for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
+                                      max_epoch=self.max_epoch,
+                                      verbose=self.verbose):
+            val_results = {}
+            feg = None
+            train_results = self._train_epoch(epoch_prog, step_prog, full,
+                                              rem, self._fit_key)
+
+            if X_val is not None and \
+                    self.epoch_ % self.metrics_config['val_metrics_every_epoch'] == 0:
+                val_results = self._run_val_metrics(X_val)
+            if X_val is not None and self.metrics_config['feg'] and \
+                    self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
+                feg = self._run_feg(X, X_val)
+
+            if self.verbose:
+                s = 'epoch: {0:{1}}/{2}'.format(
+                    self.epoch_, len(str(self.max_epoch)), self.max_epoch)
+                for m, v in sorted(train_results.items()):
+                    s += '; {0}: {1:{2}}'.format(m, v, self.metrics_config[m + '_fmt'])
+                for m, v in sorted(val_results.items()):
+                    s += '; val.{0}: {1:{2}}'.format(m, v, self.metrics_config[m + '_fmt'])
+                if feg is not None:
+                    s += ' ; feg: {0:{1}}'.format(feg, self.metrics_config['feg_fmt'])
+                write_during_training(s)
+
+            if self.save_after_each_epoch:
+                self._save_model(global_step=self.epoch_)
+
+    # ================================================================== #
+    # public API                                                          #
+    # ================================================================== #
+    def init_from(self, rbm):
+        """Warm-start from another RBM of the same class: copies weights,
+        momentum accumulators, and trailing-underscore attributes
+        (base_rbm.py:668-685)."""
+        if type(self) is not type(rbm):
+            raise ValueError('an attempt to initialize `{0}` from `{1}`'
+                             .format(self.__class__.__name__,
+                                     rbm.__class__.__name__))
+        weights = rbm.get_params_arrays(scope='weights')
+        self.W_init = weights['W']
+        self.vb_init = weights['vb']
+        self.hb_init = weights['hb']
+
+        accs = rbm.get_params_arrays(scope='grads_accumulators')
+        self._dW_init = accs['dW']
+        self._dvb_init = accs['dvb']
+        self._dhb_init = accs['dhb']
+
+        for k, v in vars(rbm).items():
+            if is_attribute_name(k):
+                setattr(self, k, v)
+        self._state = None
+        self._programs = {}
+
+    def transform(self, X, np_dtype=None):
+        """Hidden activation probabilities after the k-step chain -- the same
+        feature map the reference's `transform_op` computes
+        (base_rbm.py:437-440: chain-final h_means; stochastic when
+        intermediate hidden states are sampled)."""
+        self._ensure_state()
+        np_dtype = np_dtype or self._np_dtype
+        prog = self._program('transform', self._transform_program)
+        key = self.make_prng_key()
+        k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+
+        H = np.zeros((len(X), self.n_hidden), dtype=np_dtype)
+        start = 0
+        for i, X_b in enumerate(batch_iter(X, batch_size=self.batch_size,
+                                           verbose=self.verbose,
+                                           desc='transform')):
+            Xb = jnp.asarray(self._preprocess(X_b))
+            H_b = prog(self._state, Xb, k, jax.random.fold_in(key, i))
+            H[start:start + len(X_b)] = np.asarray(H_b, dtype=np_dtype)
+            start += len(X_b)
+        return H
+
+    def free_energy(self, X):
+        """Batch-mean free energy of `X` (host-facing convenience)."""
+        self._ensure_state()
+        prog = self._program('fe', self._free_energy_program)
+        Xb = jnp.asarray(self._preprocess(np.asarray(X)))[None, ...]
+        return float(np.asarray(prog(self._state, Xb, self.make_prng_key())[0]))

@@ -1,0 +1,25 @@
+"""Test configuration: force CPU backend with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def tmp_model_dir(tmp_path):
+    return str(tmp_path) + '/'
+
+
+@pytest.fixture
+def tiny_data():
+    from boltzmann_machines_tpu.utils.rng import RNG
+    X = RNG(seed=1337).rand(16, 12)
+    X_val = RNG(seed=42).rand(8, 12)
+    return X, X_val

@@ -1,0 +1,78 @@
+"""Model-runtime tests: working-path derivation (pins reference
+base/tests/test_tf_model.py:6-93 behavior) and the param protocol."""
+
+import pytest
+
+from boltzmann_machines_tpu.base import JAXModel, is_param_name, is_attribute_name
+
+
+def paths_of(model_path):
+    return JAXModel.compute_working_paths(model_path)
+
+
+def test_filename_only():
+    p = paths_of('model')
+    assert p['model_dirpath'] == './'
+    assert p['model_filepath'] == './model'
+    assert p['params_filepath'] == './params.json'
+    assert p['random_state_filepath'] == './random_state.json'
+    assert p['train_summary_dirpath'] == './logs/train'
+    assert p['val_summary_dirpath'] == './logs/val'
+
+    p = paths_of('model-1')
+    assert p['model_filepath'] == './model-1'
+
+
+def test_dirname_only():
+    p = paths_of('a/')
+    assert p['model_dirpath'] == 'a/'
+    assert p['model_filepath'] == 'a/model'
+    assert p['params_filepath'] == 'a/params.json'
+
+    p = paths_of('./')
+    assert p['model_dirpath'] == './'
+    assert p['model_filepath'] == './model'
+
+    p = paths_of('b/a/')
+    assert p['model_dirpath'] == 'b/a/'
+    assert p['model_filepath'] == 'b/a/model'
+    assert p['val_summary_dirpath'] == 'b/a/logs/val'
+
+
+def test_empty():
+    p = paths_of('')
+    assert p['model_dirpath'] == './'
+    assert p['model_filepath'] == './model'
+
+
+def test_dir_and_file():
+    p = paths_of('a/b')
+    assert p['model_dirpath'] == 'a/'
+    assert p['model_filepath'] == 'a/b'
+
+    p = paths_of('./b')
+    assert p['model_dirpath'] == './'
+    assert p['model_filepath'] == './b'
+
+    p = paths_of('a/b/c')
+    assert p['model_dirpath'] == 'a/b/'
+    assert p['model_filepath'] == 'a/b/c'
+    assert p['params_filepath'] == 'a/b/params.json'
+
+
+def test_naming_protocol():
+    assert is_param_name('learning_rate')
+    assert not is_param_name('epoch_')
+    assert not is_param_name('_W')
+    assert is_attribute_name('epoch_')
+    assert not is_attribute_name('learning_rate')
+    assert not is_attribute_name('_state')
+
+
+def test_set_params_validation(tiny_data):
+    from boltzmann_machines_tpu import BernoulliRBM
+    rbm = BernoulliRBM(n_visible=12, n_hidden=8, verbose=False)
+    rbm.set_params(max_epoch=5)
+    assert rbm.max_epoch == 5
+    with pytest.raises(ValueError):
+        rbm.set_params(no_such_param=1)

@@ -1,0 +1,207 @@
+"""DBM integration tests: stacking init, MF/PCD training, determinism,
+checkpoint/resume, and AIS validated against a brute-force partition function
+on an exactly-enumerable model (what the reference lacks, SURVEY.md section 4)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from boltzmann_machines_tpu import BernoulliRBM, DBM
+from boltzmann_machines_tpu.utils import RNG, log_sum_exp
+
+V, H1, H2 = 6, 5, 4
+
+
+@pytest.fixture(scope='module')
+def data():
+    return (RNG(1337).rand(40, V) < 0.4).astype('float32')
+
+
+def pretrain_rbms(X, tmp, seed=1):
+    r1 = BernoulliRBM(n_visible=V, n_hidden=H1, dbm_first=True, max_epoch=2,
+                      batch_size=8, random_seed=seed, verbose=False,
+                      model_path=tmp + 'r1/')
+    r1.fit(X)
+    Q = r1.transform(X)
+    r2 = BernoulliRBM(n_visible=H1, n_hidden=H2, dbm_last=True, max_epoch=2,
+                      batch_size=8, random_seed=seed + 1, verbose=False,
+                      model_path=tmp + 'r2/')
+    r2.fit(Q)
+    return r1, r2
+
+
+def make_dbm(rbms, tmp, seed=3, **kw):
+    cfg = dict(n_particles=16, n_gibbs_steps=2, max_mf_updates=20,
+               mf_tol=1e-7, learning_rate=0.01, momentum=0.5, max_epoch=3,
+               batch_size=8, max_norm=4., random_seed=seed, verbose=False)
+    cfg.update(kw)
+    return DBM(rbms=list(rbms), model_path=tmp + 'dbm/', **cfg)
+
+
+@pytest.fixture(scope='module')
+def trained(tmp_path_factory, data):
+    tmp = str(tmp_path_factory.mktemp('dbm')) + '/'
+    r1, r2 = pretrain_rbms(data, tmp)
+    dbm = make_dbm((r1, r2), tmp)
+    dbm.fit(data)
+    return dbm, tmp
+
+
+def exact_log_Z(dbm):
+    """Enumerate h1; v and h2 summed out analytically."""
+    s = dbm._get_state_arrays()
+    W0, W1 = s['weights/W_0'], s['weights/W_1']
+    vb, hb0, hb1 = s['weights/vb'], s['weights/hb_0'], s['weights/hb_1']
+    H = np.array(list(itertools.product([0., 1.], repeat=W0.shape[1])))
+    logp = H @ hb0
+    logp = logp + np.log1p(np.exp(H @ W0.T + vb)).sum(1)
+    logp = logp + np.log1p(np.exp(H @ W1 + hb1)).sum(1)
+    return log_sum_exp(logp)
+
+
+def test_stacking_init_two_layer(data, tmp_path):
+    """2-layer stack: W untouched, hb0 = (hb(r1) + vb(r2)) / 2, hb1 = hb(r2)
+    (reference dbm.py:266-291)."""
+    tmp = str(tmp_path) + '/'
+    r1, r2 = pretrain_rbms(data, tmp)
+    dbm = make_dbm((r1, r2), tmp)
+    dbm.init()
+    s = dbm.get_params_arrays('weights')
+    w1 = r1.get_params_arrays('weights')
+    w2 = r2.get_params_arrays('weights')
+    np.testing.assert_allclose(s['W_0'], w1['W'], rtol=1e-6)
+    np.testing.assert_allclose(s['W_1'], w2['W'], rtol=1e-6)
+    np.testing.assert_allclose(s['vb'], w1['vb'], rtol=1e-6)
+    np.testing.assert_allclose(s['hb_0'], 0.5 * w1['hb'] + 0.5 * w2['vb'],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s['hb_1'], w2['hb'], rtol=1e-6)
+
+
+def test_stacking_init_three_layer(data, tmp_path):
+    """Intermediate RBMs are halved (dbm.py:276-291)."""
+    tmp = str(tmp_path) + '/'
+    r1, r2 = pretrain_rbms(data, tmp)
+    Q = r2.transform(r1.transform(data))
+    r3 = BernoulliRBM(n_visible=H2, n_hidden=3, dbm_last=True, max_epoch=1,
+                      batch_size=8, random_seed=5, verbose=False,
+                      model_path=tmp + 'r3/')
+    r3.fit(Q)
+    # note: for a 3-layer DBM the middle rbm should have been trained with
+    # neither dbm_first nor dbm_last; we only check the stacking arithmetic
+    dbm = make_dbm((r1, r2, r3), tmp)
+    dbm.init()
+    s = dbm.get_params_arrays('weights')
+    w2 = r2.get_params_arrays('weights')
+    w3 = r3.get_params_arrays('weights')
+    np.testing.assert_allclose(s['W_1'], 0.5 * w2['W'], rtol=1e-6)
+    np.testing.assert_allclose(s['W_2'], w3['W'], rtol=1e-6)
+    np.testing.assert_allclose(s['hb_1'], 0.25 * w2['hb'] + 0.5 * w3['vb'],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s['hb_2'], w3['hb'], rtol=1e-6)
+
+
+def test_fit_and_api(trained, data):
+    dbm, tmp = trained
+    G = dbm.transform(data)
+    assert G.shape == (len(data), H2)
+    assert np.all(G >= 0.) and np.all(G <= 1.)
+    R = dbm.reconstruct(data)
+    assert R.shape == data.shape
+    assert np.mean((data - R) ** 2) < 0.3
+    v = dbm.sample_v(n_gibbs_steps=3)
+    assert v.shape == (dbm.n_particles, V)
+    assert dbm.iter_ > 0 and dbm.epoch_ == dbm.max_epoch
+
+
+def test_determinism(data, tmp_path):
+    tmp = str(tmp_path) + '/'
+    r1, r2 = pretrain_rbms(data, tmp)
+    d1 = make_dbm((r1, r2), tmp + 'a')
+    d2 = make_dbm((r1, r2), tmp + 'b')
+    d1.fit(data)
+    d2.fit(data)
+    s1, s2 = d1.get_params_arrays('weights'), d2.get_params_arrays('weights')
+    for k in s1:
+        np.testing.assert_allclose(s1[k], s2[k])
+    np.testing.assert_allclose(d1.transform(data), d2.transform(data))
+
+
+def test_save_load_resume(trained, data):
+    dbm, tmp = trained
+    # re-save: earlier tests may have advanced the persistent chains
+    # (sample_v mutates them in memory without saving, as in the reference)
+    dbm._save_model()
+    dbm2 = DBM.load_model(tmp + 'dbm/')
+    assert dbm2.epoch_ == dbm.epoch_
+    assert dbm2.n_layers_ == 2
+    assert dbm2.n_hiddens_ == [H1, H2]
+    np.testing.assert_allclose(dbm.transform(data), dbm2.transform(data),
+                               rtol=1e-6)
+    # persistent particles restored
+    s1 = dbm.get_params_arrays('negative_particles')
+    s2 = dbm2.get_params_arrays('negative_particles')
+    np.testing.assert_allclose(s1['v'], s2['v'])
+    # resume +1 epoch without rebinding RBMs (layers rebuilt from config)
+    dbm2.set_params(max_epoch=dbm2.max_epoch + 1)
+    dbm2.fit(data)
+    assert dbm2.epoch_ == dbm.max_epoch + 1
+
+
+def test_ais_matches_bruteforce(trained):
+    """AIS log Z estimate within 0.1 nats of the exact enumerated value."""
+    dbm, _ = trained
+    exact = exact_log_Z(dbm)
+    log_mean, (log_low, log_high), values = dbm.log_Z(
+        n_betas=200, n_runs=64, n_gibbs_steps=1)
+    assert values.shape == (64,)
+    assert abs(log_mean - exact) < 0.1
+    assert log_low <= log_mean <= log_high
+
+
+def test_log_proba_is_lower_bound(trained, data):
+    """The variational bound minus exact log Z must lower-bound the exact
+    marginal log-likelihood."""
+    dbm, _ = trained
+    exact = exact_log_Z(dbm)
+    elbo = dbm.log_proba(data[:8], exact)
+
+    # exact marginal: sum over h1 of unnormalized prob given v
+    s = dbm._get_state_arrays()
+    W0, W1 = s['weights/W_0'], s['weights/W_1']
+    vb, hb0, hb1 = s['weights/vb'], s['weights/hb_0'], s['weights/hb_1']
+    H = np.array(list(itertools.product([0., 1.], repeat=H1)))
+    for i in range(8):
+        x = data[i]
+        logp = H @ (W0.T @ x + hb0) + x @ vb
+        logp = logp + np.log1p(np.exp(H @ W1 + hb1)).sum(1)
+        log_marginal = log_sum_exp(logp) - exact
+        assert elbo[i] <= log_marginal + 1e-4
+
+
+def test_mf_converges(trained, data):
+    """With a generous update budget, MF should hit the tolerance before the
+    cap (returning fewer updates than max)."""
+    dbm, _ = trained
+    import jax.numpy as jnp
+    X = jnp.asarray(data[:8])
+    mu, n = dbm._mf(dbm._state, X)
+    assert int(n) <= dbm.max_mf_updates
+    # one more sweep changes nothing beyond tol if converged before cap
+    if int(n) < dbm.max_mf_updates:
+        mu2 = dbm._mf_sweep(dbm._state, X, mu)
+        delta = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                    for a, b in zip(mu2, mu))
+        assert delta <= dbm.mf_tol * 10
+
+
+def test_max_norm_constraint(data, tmp_path):
+    tmp = str(tmp_path) + '/'
+    r1, r2 = pretrain_rbms(data, tmp)
+    dbm = make_dbm((r1, r2), tmp, max_norm=0.1, learning_rate=0.5,
+                   max_epoch=2)
+    dbm.fit(data)
+    s = dbm.get_params_arrays('weights')
+    for k in ('W_0', 'W_1'):
+        norms = np.linalg.norm(s[k], axis=0)
+        assert np.all(norms <= 0.1 + 1e-5)

@@ -1,0 +1,189 @@
+"""RBM integration tests: ctor validation, seeded determinism, checkpoint /
+resume trajectory identity (tier 3 of the reference's strategy; mirrors
+reference rbm/tests/test_rbm.py:12-134)."""
+
+import numpy as np
+import pytest
+
+from boltzmann_machines_tpu import BernoulliRBM, MultinomialRBM, GaussianRBM
+from boltzmann_machines_tpu.rbm import logit_mean
+from boltzmann_machines_tpu.utils import RNG
+
+N_VISIBLE, N_HIDDEN = 12, 8
+
+RBM_CONFIG = dict(n_visible=N_VISIBLE, n_hidden=N_HIDDEN,
+                  sample_v_states=True, sample_h_states=True,
+                  dropout=0.9, verbose=False, random_seed=1337,
+                  max_epoch=2, batch_size=6)
+
+CLASSES = {
+    BernoulliRBM: {},
+    MultinomialRBM: dict(n_samples=16),
+    GaussianRBM: dict(sigma=1.),
+}
+
+
+@pytest.fixture
+def X():
+    return RNG(seed=1337).rand(16, N_VISIBLE)
+
+
+@pytest.fixture
+def X_val():
+    return RNG(seed=42).rand(8, N_VISIBLE)
+
+
+def weights_of(rbm):
+    return rbm.get_params_arrays(scope='weights')
+
+
+def assert_weights_equal(a, b):
+    wa, wb = weights_of(a), weights_of(b)
+    np.testing.assert_allclose(wa['W'], wb['W'])
+    np.testing.assert_allclose(wa['vb'], wb['vb'])
+    np.testing.assert_allclose(wa['hb'], wb['hb'])
+
+
+@pytest.mark.parametrize('cls', list(CLASSES))
+def test_W_init_validation(cls):
+    for bad in [np.zeros((4, 2)), np.zeros((3, 3)), np.zeros((3, 2))]:
+        with pytest.raises(ValueError):
+            cls(n_visible=4, n_hidden=3, W_init=bad)
+    cls(n_visible=4, n_hidden=3, W_init=np.zeros((4, 3)))
+    cls(n_visible=1, n_hidden=1, W_init=np.zeros((1, 1)))
+
+
+def test_seeded_init_deterministic(tmp_model_dir):
+    a = BernoulliRBM(model_path=tmp_model_dir + 'a/', **RBM_CONFIG)
+    b = BernoulliRBM(model_path=tmp_model_dir + 'b/', **RBM_CONFIG)
+    a.init()
+    b.init()
+    assert_weights_equal(a, b)
+    W = weights_of(a)['W']
+    assert W.shape == (N_VISIBLE, N_HIDDEN)
+    assert 0. < np.abs(W).mean() < 0.1  # ~N(0, 0.01)
+
+
+@pytest.mark.parametrize('cls,extra,dtype', [
+    (BernoulliRBM, {}, 'float32'),
+    (BernoulliRBM, {}, 'float64'),
+    (MultinomialRBM, dict(n_samples=16), 'float32'),
+    (GaussianRBM, dict(sigma=1.), 'float32'),
+])
+def test_consistency(cls, extra, dtype, X, X_val, tmp_model_dir):
+    """Same-seed models must be bitwise-identical through fit, extra fit,
+    reload-from-disk, and another fit (reference test_rbm.py:69-114)."""
+    cfg = dict(RBM_CONFIG, **extra)
+    r1 = cls(model_path=tmp_model_dir + 'r1/', dtype=dtype, **cfg)
+    r2 = cls(model_path=tmp_model_dir + 'r2/', dtype=dtype, **cfg)
+
+    r1.fit(X)
+    r2.fit(X)
+    assert_weights_equal(r1, r2)
+    H1, H2 = r1.transform(X_val), r2.transform(X_val)
+    assert H1.shape == (len(X_val), N_HIDDEN)
+    np.testing.assert_allclose(H1, H2)
+
+    r1.set_params(max_epoch=r1.max_epoch + 1).fit(X)
+    r2.set_params(max_epoch=r2.max_epoch + 1).fit(X)
+    assert_weights_equal(r1, r2)
+
+    r1 = cls.load_model(tmp_model_dir + 'r1/')
+    r2 = cls.load_model(tmp_model_dir + 'r2/')
+    assert_weights_equal(r1, r2)
+    np.testing.assert_allclose(r1.transform(X_val), r2.transform(X_val))
+
+    r1.set_params(max_epoch=r1.max_epoch + 1).fit(X)
+    r2.set_params(max_epoch=r2.max_epoch + 1).fit(X)
+    assert_weights_equal(r1, r2)
+    np.testing.assert_allclose(r1.transform(X_val), r2.transform(X_val))
+
+
+def test_consistency_with_val(X, X_val, tmp_model_dir):
+    cfg = dict(RBM_CONFIG)
+    cfg['metrics_config'] = dict(msre=True, pll=True, feg=True,
+                                 train_metrics_every_iter=2)
+    r1 = BernoulliRBM(model_path=tmp_model_dir + 'r1/', **cfg)
+    r2 = BernoulliRBM(model_path=tmp_model_dir + 'r2/', **cfg)
+    r1.fit(X, X_val)
+    r2.fit(X, X_val)
+    assert_weights_equal(r1, r2)
+    np.testing.assert_allclose(r1.transform(X_val), r2.transform(X_val))
+
+
+def test_learning_decreases_msre(tmp_model_dir):
+    """CD-1 on separable binary data should reduce reconstruction error."""
+    rng = RNG(seed=7)
+    # two prototype patterns + noise
+    protos = (rng.rand(2, N_VISIBLE) < 0.5).astype(float)
+    X = protos[rng.randint(0, 2, 128)]
+    flip = rng.rand(*X.shape) < 0.05
+    X = np.abs(X - flip)
+
+    rbm = BernoulliRBM(n_visible=N_VISIBLE, n_hidden=N_HIDDEN,
+                       max_epoch=1, batch_size=16, learning_rate=0.1,
+                       momentum=0.5, l2=0., random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       metrics_config=dict(msre=True, train_metrics_every_iter=1),
+                       model_path=tmp_model_dir)
+    rbm.fit(X)
+    msre_first = rbm._train_epoch_last_msre if hasattr(rbm, '_train_epoch_last_msre') else None
+
+    def recon_err(rbm):
+        H = rbm.transform(X)
+        return float(np.mean((X - H @ weights_of(rbm)['W'].T) ** 2))
+
+    rbm2 = BernoulliRBM(n_visible=N_VISIBLE, n_hidden=N_HIDDEN,
+                        max_epoch=30, batch_size=16, learning_rate=0.1,
+                        momentum=0.5, l2=0., random_seed=1337, verbose=False,
+                        save_after_each_epoch=False,
+                        metrics_config=dict(msre=True, train_metrics_every_iter=1),
+                        model_path=tmp_model_dir + 'b/')
+    rbm2.fit(X)
+    fe_trained = rbm2.free_energy(X)
+    fe_random = rbm2.free_energy((RNG(3).rand(128, N_VISIBLE) < 0.5).astype(float))
+    # trained model assigns lower free energy (higher prob) to training data
+    assert fe_trained < fe_random
+
+
+def test_init_from(X, tmp_model_dir):
+    cfg = dict(RBM_CONFIG)
+    r1 = BernoulliRBM(model_path=tmp_model_dir + 'r1/', **cfg)
+    r1.fit(X)
+    r2 = BernoulliRBM(model_path=tmp_model_dir + 'r2/', **cfg)
+    r2.init_from(r1)
+    r2.init()
+    assert_weights_equal(r1, r2)
+    # momentum accumulators copied too (reference base_rbm.py:668-685)
+    a1 = r1.get_params_arrays('grads_accumulators')
+    a2 = r2.get_params_arrays('grads_accumulators')
+    np.testing.assert_allclose(a1['dW'], a2['dW'])
+    assert r2.epoch_ == r1.epoch_
+
+    with pytest.raises(ValueError):
+        GaussianRBM(n_visible=N_VISIBLE, n_hidden=N_HIDDEN).init_from(r1)
+
+
+def test_multinomial_transform_normalized(X, tmp_model_dir):
+    rbm = MultinomialRBM(n_visible=N_VISIBLE, n_hidden=N_HIDDEN, n_samples=16,
+                         max_epoch=1, batch_size=8, verbose=False,
+                         random_seed=1, model_path=tmp_model_dir)
+    rbm.fit(X)
+    H = rbm.transform(X)
+    # expected softmax probabilities: each row sums to ~1
+    np.testing.assert_allclose(H.sum(axis=1), np.ones(len(X)), atol=1e-4)
+
+
+def test_gaussian_preprocess_divides_by_sigma():
+    g = GaussianRBM(n_visible=4, n_hidden=2, sigma=2., verbose=False)
+    X = np.ones((3, 4))
+    np.testing.assert_allclose(g._preprocess(X), 0.5 * np.ones((3, 4)))
+
+
+def test_dbm_first_doubles_propup():
+    rbm = BernoulliRBM(n_visible=4, n_hidden=2, dbm_first=True, verbose=False)
+    assert rbm._propup_multiplier == 2.
+    assert rbm._propdown_multiplier == 1.
+    rbm = BernoulliRBM(n_visible=4, n_hidden=2, dbm_last=True, verbose=False)
+    assert rbm._propup_multiplier == 1.
+    assert rbm._propdown_multiplier == 2.
