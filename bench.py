@@ -19,10 +19,11 @@ BASELINE_SAMPLES_PER_SEC = 55000. * 120. / (38. * 60.)
 
 def main():
     import jax
+    import jax.numpy as jnp
     from boltzmann_machines_tpu import BernoulliRBM
 
-    batch_size = 512
-    n_samples = 55296  # 108 full batches
+    batch_size = 256
+    n_samples = 55296  # 216 full batches
     rbm = BernoulliRBM(n_visible=784, n_hidden=1024, n_gibbs_steps=1,
                        learning_rate=0.05, momentum=0.9, batch_size=batch_size,
                        l2=1e-5, random_seed=1337, verbose=False,
@@ -36,24 +37,32 @@ def main():
     full, rem, n_full = rbm._stage_batches(X)
     assert rem is None
 
-    prog = rbm._program('train_epoch', rbm._train_epoch_program)
+    use_pallas = rbm._pallas_eligible()
+    if use_pallas:
+        prog = rbm._pallas_epoch_program(1, n_full)
+        use_pallas = prog is not None
+
     key = jax.random.PRNGKey(0)
 
     def run_epoch(state, i):
-        state, it, _ = prog(state, full, 0.05, 0.9, 1, jax.random.fold_in(key, i), 0)
+        if use_pallas:
+            state, _, _ = prog(state, full, 0.05, 0.9, i + 1, 0)
+        else:
+            xprog = rbm._program('train_epoch', rbm._train_epoch_program)
+            state, _, _ = xprog(state, full, 0.05, 0.9, 1,
+                                jax.random.fold_in(key, i), 0)
         return state
 
     def sync(state):
         # force a real device sync via scalar readback: on some remote
         # backends block_until_ready returns before execution completes
-        import jax.numpy as jnp
         return float(jnp.sum(jnp.abs(state['W'])))
 
     # warmup / compile
     state = run_epoch(rbm._state, 0)
     sync(state)
 
-    n_epochs = 5
+    n_epochs = 20
     t0 = time.perf_counter()
     for i in range(1, n_epochs + 1):
         state = run_epoch(state, i)

@@ -1,0 +1,280 @@
+"""Fused Pallas TPU kernels for the block-Gibbs hot path.
+
+Two levels of fusion:
+
+* ``bernoulli_sample`` -- standalone threshold sampler driven by the TPU's
+  hardware PRNG (``pltpu.prng_random_bits``).  ~3x faster than threefry
+  ``jax.random.uniform`` at RBM-scale shapes.
+* ``make_cd_epoch_kernel`` -- the whole CD-k *epoch* as ONE ``pallas_call``:
+  the grid iterates over minibatches, model state (W, biases, momentum
+  accumulators, sparsity EMAs) lives in VMEM across all grid steps, batches
+  stream in from HBM, and sampling uses on-chip PRNG.  This removes the
+  per-step kernel-launch latency and keeps W resident, which is the
+  dominant win on TPU (one launch per epoch instead of one per minibatch).
+
+The mega-kernel currently covers the sigmoid (Bernoulli-Bernoulli) RBM --
+the flagship MNIST model and the DBM-pretraining workhorse.  Other unit
+types fall back to the XLA path, which is also the reference for the
+golden tests (with sampling disabled the two paths agree to float
+tolerance; with sampling they are distinct-but-valid PRNG streams).
+
+PRNG note: uniforms are built from raw bits with the mantissa trick
+``bitcast((bits >> 9) | 0x3f800000, f32) - 1`` (Mosaic does not lower
+uint32->f32 casts).  Streams are seeded per (epoch_seed, grid_step) so
+training remains reproducible given the model's host RNG state.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _uniform_bits(shape):
+    """Uniform [0, 1) float32 from the on-chip PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mant = (bits >> 9) | jnp.uint32(0x3f800000)
+    return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+# ---------------------------------------------------------------------- #
+# standalone Bernoulli sampler                                            #
+# ---------------------------------------------------------------------- #
+def _bernoulli_kernel(seed_ref, p_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    u = _uniform_bits(p_ref.shape)
+    out_ref[:] = (u < p_ref[:]).astype(p_ref.dtype)
+
+
+def bernoulli_sample(seed, probs):
+    """Draw Bernoulli states with the TPU hardware PRNG.
+
+    seed : scalar uint32 (traced ok); probs : (B, N) float32.
+    """
+    return pl.pallas_call(
+        _bernoulli_kernel,
+        out_shape=jax.ShapeDtypeStruct(probs.shape, probs.dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(seed, jnp.uint32).reshape(1), probs)
+
+
+# ---------------------------------------------------------------------- #
+# fused CD-k epoch for sigmoid-sigmoid RBMs                               #
+# ---------------------------------------------------------------------- #
+def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref,
+                     W_in, vb_in, hb_in, dW_in, dvb_in, dhb_in, q_in,
+                     W_o, vb_o, hb_o, dW_o, dvb_o, dhb_o, q_o,
+                     msre_o, pll_o, dma_sems,
+                     *, k, batch_size, n_visible,
+                     sample_v_states, sample_h_states,
+                     propup_mult, propdown_mult,
+                     l2, sparsity_target, sparsity_cost, sparsity_damping,
+                     metrics_every, compute_pll):
+    i = pl.program_id(0)
+    pltpu.prng_seed(scalars_ref[0], i)
+    lr = sched_ref[0]
+    mom = sched_ref[1]
+    it = scalars_ref[1] + i.astype(jnp.uint32) + 1  # global iteration counter
+
+    # first grid step: DMA the initial state (HBM-resident inputs) into the
+    # persistent VMEM output buffers
+    @pl.when(i == 0)
+    def _():
+        pairs = ((W_in, W_o), (vb_in, vb_o), (hb_in, hb_o), (dW_in, dW_o),
+                 (dvb_in, dvb_o), (dhb_in, dhb_o), (q_in, q_o))
+        copies = [pltpu.make_async_copy(src, dst, dma_sems.at[j])
+                  for j, (src, dst) in enumerate(pairs)]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+    X = x_ref[0]  # (B, V)
+    W = W_o[:]
+    vb = vb_o[:]  # (1, V)
+    hb = hb_o[:]  # (1, H)
+
+    f32 = jnp.float32
+    up = f32(propup_mult)
+    down = f32(propdown_mult)
+
+    def propup(v):
+        return jnp.dot(v, W, preferred_element_type=f32)
+
+    def propdown(h):
+        return jax.lax.dot_general(h, W, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    h0_means = jax.nn.sigmoid(up * (propup(X) + hb))
+    if sample_h_states:
+        h_states = (_uniform_bits(h0_means.shape) < h0_means).astype(f32)
+    else:
+        h_states = h0_means
+
+    v_means = X
+    h_means = h0_means
+    for _step in range(k):
+        v_means = jax.nn.sigmoid(down * (propdown(h_states) + vb))
+        v_states = ((_uniform_bits(v_means.shape) < v_means).astype(f32)
+                    if sample_v_states else v_means)
+        h_means = jax.nn.sigmoid(up * (propup(v_states) + hb))
+        h_states = ((_uniform_bits(h_means.shape) < h_means).astype(f32)
+                    if sample_h_states else h_means)
+
+    N = f32(batch_size)
+    # positive - negative associations (all on the MXU)
+    dW_pos = jax.lax.dot_general(X, h0_means, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dW_neg = jax.lax.dot_general(v_states, h_means, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dW_grad = (dW_pos - dW_neg) / N - f32(l2) * W
+    dvb_grad = jnp.mean(X - v_states, axis=0, keepdims=True)
+    dhb_grad = jnp.mean(h0_means - h_means, axis=0, keepdims=True)
+
+    damp = f32(sparsity_damping)
+    q_new = damp * q_o[:] + (1. - damp) * jnp.sum(h_means, axis=0,
+                                                  keepdims=True)
+    penalty = f32(sparsity_cost) * (q_new - f32(sparsity_target))
+    q_o[:] = q_new
+
+    # momentum rule: acc <- lr * (mom * acc + grad); param += acc
+    dW_acc = lr * (mom * dW_o[:] + dW_grad - penalty)
+    dvb_acc = lr * (mom * dvb_o[:] + dvb_grad)
+    dhb_acc = lr * (mom * dhb_o[:] + dhb_grad - penalty)
+    dW_o[:] = dW_acc
+    dvb_o[:] = dvb_acc
+    dhb_o[:] = dhb_acc
+    W_o[:] = W + dW_acc
+    vb_o[:] = vb + dvb_acc
+    hb_o[:] = hb + dhb_acc
+
+    # ---- metrics (logged every `metrics_every` iterations) ----
+    want = (it % jnp.uint32(metrics_every)) == 0
+    msre_val = jnp.where(want, jnp.mean(jnp.square(X - v_means)), f32(0.))
+    msre_o[pl.ds(i, 1), :] = jnp.full((1, 128), msre_val, dtype=f32)
+
+    if compute_pll:
+        @pl.when(want)
+        def _():
+            # flip one random visible unit per row: free energies with the
+            # *updated* weights (matches the XLA path's post-update metrics)
+            Wn = W_o[:]
+            vbn = vb_o[:]
+            hbn = hb_o[:]
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (batch_size, n_visible), 1)
+            flip_idx = (_uniform_bits((batch_size, 1)) *
+                        f32(n_visible)).astype(jnp.int32)
+            flip = (ridx == flip_idx).astype(f32)
+            Xf = X + flip - 2. * X * flip
+            act = jnp.dot(X, Wn, preferred_element_type=f32) + hbn
+            act_f = jnp.dot(Xf, Wn, preferred_element_type=f32) + hbn
+            Nf = f32(batch_size)
+            # batch-mean free energy as pure scalar reductions (1-D vectors
+            # trigger Mosaic relayout issues)
+            fe = (-jnp.sum(X * vbn) - jnp.sum(jax.nn.softplus(act))) / Nf
+            fe_f = (-jnp.sum(Xf * vbn) - jnp.sum(jax.nn.softplus(act_f))) / Nf
+            pll_val = f32(n_visible) * jax.nn.log_sigmoid(fe_f - fe)
+            pll_o[pl.ds(i, 1), :] = jnp.full((1, 128), pll_val, dtype=f32)
+
+        @pl.when(jnp.logical_not(want))
+        def _():
+            pll_o[pl.ds(i, 1), :] = jnp.zeros((1, 128), dtype=f32)
+    else:
+        pll_o[pl.ds(i, 1), :] = jnp.zeros((1, 128), dtype=f32)
+
+
+def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
+                         sample_v_states, sample_h_states,
+                         propup_mult, propdown_mult,
+                         l2, sparsity_target, sparsity_cost,
+                         sparsity_damping, metrics_every,
+                         compute_pll=True, interpret=False):
+    """Build the fused CD-k epoch program for a Bernoulli-Bernoulli RBM.
+
+    Returns ``epoch(state, X_batches, lr, momentum, seed, iter0)`` ->
+    ``(state, msre_per_batch, pll_per_batch)`` where `X_batches` is
+    (n_batches, batch_size, n_visible) float32 and `state` is the BaseRBM
+    state dict.  One kernel launch per epoch; W stays in VMEM throughout.
+    """
+    V, H, B = n_visible, n_hidden, batch_size
+
+    kernel = functools.partial(
+        _cd_epoch_kernel, k=k, batch_size=B, n_visible=V,
+        sample_v_states=sample_v_states, sample_h_states=sample_h_states,
+        propup_mult=propup_mult, propdown_mult=propdown_mult,
+        l2=l2, sparsity_target=sparsity_target, sparsity_cost=sparsity_cost,
+        sparsity_damping=sparsity_damping, metrics_every=metrics_every,
+        compute_pll=compute_pll)
+
+    def const2d(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def epoch(state, X_batches, lr, momentum, seed, iter0):
+        NB = X_batches.shape[0]
+        f32 = jnp.float32
+        scalars = jnp.stack([jnp.asarray(seed, jnp.uint32),
+                             jnp.asarray(iter0, jnp.uint32)])
+        sched = jnp.stack([jnp.asarray(lr, f32), jnp.asarray(momentum, f32)])
+
+        in_state = (state['W'],
+                    state['vb'].reshape(1, V), state['hb'].reshape(1, H),
+                    state['dW'],
+                    state['dvb'].reshape(1, V), state['dhb'].reshape(1, H),
+                    state['q_means'].reshape(1, H))
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((V, H), f32),     # W
+            jax.ShapeDtypeStruct((1, V), f32),     # vb
+            jax.ShapeDtypeStruct((1, H), f32),     # hb
+            jax.ShapeDtypeStruct((V, H), f32),     # dW
+            jax.ShapeDtypeStruct((1, V), f32),     # dvb
+            jax.ShapeDtypeStruct((1, H), f32),     # dhb
+            jax.ShapeDtypeStruct((1, H), f32),     # q_means
+            jax.ShapeDtypeStruct((NB, 128), f32),  # msre per batch (lane 0)
+            jax.ShapeDtypeStruct((NB, 128), f32),  # pll per batch (lane 0)
+        )
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, B, V), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            out_specs=(
+                const2d((V, H)), const2d((1, V)), const2d((1, H)),
+                const2d((V, H)), const2d((1, V)), const2d((1, H)),
+                const2d((1, H)),
+                const2d((NB, 128)),
+                const2d((NB, 128)),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.SemaphoreType.DMA((7,))],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(scalars, sched, X_batches, *in_state)
+
+        (W, vb, hb, dW, dvb, dhb, q, msre, pll) = outs
+        new_state = {
+            'W': W, 'vb': vb.reshape(V), 'hb': hb.reshape(H),
+            'dW': dW, 'dvb': dvb.reshape(V), 'dhb': dhb.reshape(H),
+            'q_means': q.reshape(H),
+        }
+        return new_state, msre[:, 0], pll[:, 0]
+
+    return epoch

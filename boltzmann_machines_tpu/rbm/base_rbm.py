@@ -69,7 +69,7 @@ class BaseRBM(EnergyBasedModel):
                  dbm_first=False, dbm_last=False,
                  metrics_config=None, verbose=True, save_after_each_epoch=True,
                  display_filters=0, display_hidden_activations=0,
-                 v_shape=(28, 28),
+                 v_shape=(28, 28), kernel='auto',
                  model_path='rbm_model/', *args, **kwargs):
         super(BaseRBM, self).__init__(model_path=model_path, *args, **kwargs)
         self.n_visible = n_visible
@@ -151,6 +151,12 @@ class BaseRBM(EnergyBasedModel):
         self.v_shape = tuple(v_shape)
         if len(self.v_shape) == 2:
             self.v_shape = (self.v_shape[0], self.v_shape[1], 1)
+
+        # 'auto' picks the fused Pallas CD epoch kernel on TPU when the
+        # model qualifies (Bernoulli-Bernoulli, float32, no dropout);
+        # 'xla' forces the lax path; 'pallas' forces the kernel.
+        assert kernel in ('auto', 'xla', 'pallas')
+        self.kernel = kernel
 
         # current epoch and iteration
         self.epoch_ = 0
@@ -463,6 +469,81 @@ class BaseRBM(EnergyBasedModel):
             return h_means
         return jax.jit(transform_fn)
 
+    # ---------------------------- pallas fast path -------------------- #
+    def _pallas_eligible(self):
+        """The fused CD-epoch kernel covers sigmoid-sigmoid RBMs in float32
+        without dropout on a real TPU (single chip)."""
+        from ..layers import BernoulliLayer
+        if self.kernel == 'xla':
+            return False
+        ok = (isinstance(self._v_layer, BernoulliLayer)
+              and isinstance(self._h_layer, BernoulliLayer)
+              and self.dtype == 'float32'
+              and self.dropout is None
+              and self._mesh is None
+              and jax.default_backend() != 'cpu')
+        if self.kernel == 'pallas' and not ok:
+            raise ValueError('kernel="pallas" requested but the model is '
+                             'not eligible for the fused CD epoch kernel')
+        return ok
+
+    def _pallas_epoch_program(self, k, n_batches):
+        from ..ops.pallas_ops import make_cd_epoch_kernel
+        # per-batch metric rows live in VMEM; fall back when they would not fit
+        if n_batches * 512 > 4 * 1024 * 1024:
+            return None
+        return make_cd_epoch_kernel(
+            self.n_visible, self.n_hidden, self.batch_size, k,
+            self.sample_v_states, self.sample_h_states,
+            self._propup_multiplier, self._propdown_multiplier,
+            float(self.l2), float(self.sparsity_target),
+            float(self.sparsity_cost), float(self.sparsity_damping),
+            int(self.metrics_config['train_metrics_every_iter']),
+            compute_pll=bool(self.metrics_config['pll']))
+
+    def _train_epoch_pallas(self, step_prog, full, rem, base_key):
+        lr = float(schedule_value(self.learning_rate, self.epoch_))
+        mom = float(schedule_value(self.momentum, self.epoch_))
+        k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+        ekey = jax.random.fold_in(base_key, self.epoch_)
+        seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
+
+        prog = self._program(('pallas_epoch', k, full.shape[0]),
+                             lambda: self._pallas_epoch_program(k, full.shape[0]))
+        if prog is None:
+            return None  # caller falls back to the XLA path
+
+        iter0 = self.iter_
+        self._state, msre_s, pll_s = prog(self._state, full, lr, mom, seed,
+                                          iter0)
+        self.iter_ += int(full.shape[0])
+        msre_s = np.asarray(msre_s)
+        pll_s = np.asarray(pll_s)
+        l2_s = np.zeros_like(msre_s)
+        iters = iter0 + 1 + np.arange(len(msre_s))
+        mask = (iters % self.metrics_config['train_metrics_every_iter']) == 0
+
+        if rem is not None:
+            self.iter_ += 1
+            self._state, m = step_prog(self._state, rem, lr, mom, k, ekey,
+                                       self.iter_)
+            m = [np.asarray(x) for x in m]
+            msre_s = np.append(msre_s, m[0])
+            pll_s = np.append(pll_s, m[1])
+            l2_s = np.append(l2_s, m[2])
+            mask = np.append(mask, m[3].astype(bool))
+
+        results = {}
+        if mask.any():
+            if self.metrics_config['msre']:
+                results['msre'] = float(msre_s[mask].mean())
+            if self.metrics_config['pll']:
+                results['pll'] = float(pll_s[mask].mean())
+            if self.metrics_config['l2_loss']:
+                s = jax.device_get(self._state['W'])
+                results['l2_loss'] = float(self.l2 * 0.5 * np.sum(s ** 2))
+        return results
+
     # ================================================================== #
     # data staging                                                        #
     # ================================================================== #
@@ -577,7 +658,9 @@ class BaseRBM(EnergyBasedModel):
 
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
-        epoch_prog = self._program('train_epoch', self._train_epoch_program)
+        use_pallas = self._pallas_eligible()
+        epoch_prog = None if use_pallas else \
+            self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
 
@@ -586,8 +669,17 @@ class BaseRBM(EnergyBasedModel):
                                       verbose=self.verbose):
             val_results = {}
             feg = None
-            train_results = self._train_epoch(epoch_prog, step_prog, full,
-                                              rem, self._fit_key)
+            train_results = None
+            if use_pallas:
+                train_results = self._train_epoch_pallas(step_prog, full,
+                                                         rem, self._fit_key)
+                if train_results is None:  # kernel declined (VMEM budget)
+                    use_pallas = False
+                    epoch_prog = self._program('train_epoch',
+                                               self._train_epoch_program)
+            if train_results is None:
+                train_results = self._train_epoch(epoch_prog, step_prog, full,
+                                                  rem, self._fit_key)
 
             if X_val is not None and \
                     self.epoch_ % self.metrics_config['val_metrics_every_epoch'] == 0:

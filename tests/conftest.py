@@ -3,10 +3,14 @@ sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# BMT_TEST_TPU=1 runs the suite on the real accelerator (enables the Pallas
+# kernel tests); default is CPU with 8 virtual devices.
+if not os.environ.get('BMT_TEST_TPU'):
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = \
+            (flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,100 @@
+"""Pallas kernel tests.
+
+The fused CD-epoch kernel is golden-tested against the XLA lax path with
+sampling disabled (bitwise-deterministic compute, different engines).  These
+run only on a real TPU backend; the CPU CI suite covers the XLA path the
+kernel is checked against (tests/test_rbm.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() == 'cpu',
+    reason='fused Pallas kernels require a TPU backend')
+
+
+@requires_tpu
+def test_cd_epoch_kernel_matches_xla_path(tmp_path):
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
+
+    V, H, B, NB = 784, 256, 128, 16
+    rbm = BernoulliRBM(n_visible=V, n_hidden=H, batch_size=B, random_seed=1337,
+                       verbose=False, save_after_each_epoch=False,
+                       sample_h_states=False, sample_v_states=False, l2=1e-5,
+                       sparsity_cost=1e-5,
+                       metrics_config=dict(msre=True, pll=True,
+                                           train_metrics_every_iter=4),
+                       model_path=str(tmp_path) + '/')
+    rbm._ensure_state()
+    X = (np.random.RandomState(0).rand(NB * B, V) < 0.3).astype(np.float32)
+    full, rem, _ = rbm._stage_batches(X)
+    assert rem is None
+
+    s_xla_in = jtu.tree_map(jnp.copy, rbm._state)
+    s_pal_in = jtu.tree_map(jnp.copy, rbm._state)
+
+    ep_xla = rbm._program('train_epoch', rbm._train_epoch_program)
+    s_xla, _, stacked = ep_xla(s_xla_in, full, 0.05, 0.9, 1,
+                               jax.random.PRNGKey(0), 0)
+
+    ep_pal = make_cd_epoch_kernel(
+        V, H, B, k=1, sample_v_states=False, sample_h_states=False,
+        propup_mult=1., propdown_mult=1., l2=1e-5, sparsity_target=0.1,
+        sparsity_cost=1e-5, sparsity_damping=0.9, metrics_every=4)
+    s_pal, msre, pll = ep_pal(s_pal_in, full, 0.05, 0.9, 7, 0)
+
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(s_xla[k]), np.asarray(s_pal[k]),
+                                   atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_xla['q_means']),
+                               np.asarray(s_pal['q_means']), rtol=0.1)
+
+    # logged msre values agree (pll uses different random flips; just check
+    # magnitude)
+    m_xla = np.asarray(stacked[0])
+    mask = np.asarray(stacked[3]).astype(bool)
+    m_pal = np.asarray(msre)[mask]
+    np.testing.assert_allclose(m_xla[mask], m_pal, atol=1e-4)
+    p_pal = np.asarray(pll)[mask]
+    p_xla = np.asarray(stacked[1])[mask]
+    assert np.all(p_pal < 0.)
+    assert abs(p_pal.mean() - p_xla.mean()) / abs(p_xla.mean()) < 0.5
+
+
+@requires_tpu
+def test_bernoulli_sample_statistics():
+    from boltzmann_machines_tpu.ops import bernoulli_sample
+    p = jnp.full((1024, 256), 0.3, jnp.float32)
+    s = np.asarray(bernoulli_sample(12345, p))
+    assert set(np.unique(s)).issubset({0., 1.})
+    assert abs(s.mean() - 0.3) < 0.01
+    # different seeds give different draws
+    s2 = np.asarray(bernoulli_sample(54321, p))
+    assert not np.array_equal(s, s2)
+
+
+@requires_tpu
+def test_fit_auto_uses_pallas_and_learns(tmp_path):
+    from boltzmann_machines_tpu import BernoulliRBM
+    rng = np.random.RandomState(7)
+    protos = (rng.rand(2, 64) < 0.5).astype('float32')
+    X = protos[rng.randint(0, 2, 512)]
+    rbm = BernoulliRBM(n_visible=64, n_hidden=32, max_epoch=10, batch_size=64,
+                       learning_rate=0.1, momentum=0.5, l2=0.,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=1),
+                       model_path=str(tmp_path) + '/')
+    assert rbm._pallas_eligible()
+    rbm.fit(X)
+    fe_data = rbm.free_energy(X)
+    fe_rand = rbm.free_energy(
+        (np.random.RandomState(3).rand(512, 64) < 0.5).astype('float32'))
+    assert fe_data < fe_rand
