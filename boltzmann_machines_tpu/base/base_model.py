@@ -28,19 +28,28 @@ class BaseModel(SeedMixin):
                 raise ValueError("invalid param name '{0}'".format(k))
         return self
 
+    @staticmethod
+    def _to_jsonable(v):
+        if isinstance(v, np.ndarray):
+            return None if v.size > 1e6 else v.tolist()
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, (list, tuple)):
+            return [BaseModel._to_jsonable(x) for x in v]
+        if isinstance(v, dict):
+            return {k: BaseModel._to_jsonable(x) for k, x in v.items()}
+        return v
+
     def _serialize(self, params):
-        """Make params JSON-serializable; refuse arrays > 1e6 elements
-        (large learned tensors live in the array checkpoint instead)."""
+        """Make params JSON-serializable (numpy scalars/arrays inside
+        schedule lists included); arrays > 1e6 elements are dropped -- large
+        learned tensors live in the array checkpoint instead."""
         for k, v in params.items():
-            if isinstance(v, np.ndarray):
-                if v.size > 1e6:
-                    params[k] = None
-                else:
-                    params[k] = v.tolist()
-            elif isinstance(v, (np.integer,)):
-                params[k] = int(v)
-            elif isinstance(v, (np.floating,)):
-                params[k] = float(v)
+            params[k] = self._to_jsonable(v)
         return params
 
     def _deserialize(self, params):

@@ -27,7 +27,10 @@ from .mixin import DtypeMixin
 
 class JAXModel(BaseModel, DtypeMixin):
     def __init__(self, model_path='jax_model/', paths=None, json_params=None,
+                 tf_saver_params=None, tf_session_config=None,
                  *args, **kwargs):
+        # tf_saver_params / tf_session_config are accepted (and ignored) for
+        # drop-in compatibility with reference call sites (tf_model.py:44-45)
         super(JAXModel, self).__init__(*args, **kwargs)
         self._model_dirpath = None
         self._model_filepath = None
@@ -98,12 +101,17 @@ class JAXModel(BaseModel, DtypeMixin):
         params = self.get_params(deep=False)
         params = self._serialize(params)
         params['__class_name__'] = self.__class__.__name__
-        with open(self._params_filepath, 'w') as f:
+        # atomic writes: a crash mid-dump must not corrupt the checkpoint
+        tmp = self._params_filepath + '.tmp'
+        with open(tmp, 'w') as f:
             json.dump(params, f, **self.json_params)
+        os.replace(tmp, self._params_filepath)
 
         if self.random_seed is not None:
-            with open(self._random_state_filepath, 'w') as f:
+            tmp = self._random_state_filepath + '.tmp'
+            with open(tmp, 'w') as f:
                 json.dump(self._rng.get_state(), f)
+            os.replace(tmp, self._random_state_filepath)
 
         arrays = self._get_state_arrays()
         # atomic-ish write: npz to temp then rename

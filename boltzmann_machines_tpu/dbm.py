@@ -329,6 +329,18 @@ class DBM(EnergyBasedModel):
 
         return v_new, tuple(H_new)
 
+    def _constrain_particles(self, v, H):
+        """Keep persistent chains sharded along the data axis so XLA never
+        gathers them (no-op without a mesh)."""
+        if self._mesh is None:
+            return v, H
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh, axis = self._mesh
+        sh = NamedSharding(mesh, P(axis, None))
+        v = jax.lax.with_sharding_constraint(v, sh)
+        H = tuple(jax.lax.with_sharding_constraint(h, sh) for h in H)
+        return v, H
+
     def _particles_update(self, state, v, H, n_steps, key, sample=True):
         """Run the persistent chains for `n_steps` (traced) Gibbs steps."""
         def body(i, carry):
@@ -336,7 +348,8 @@ class DBM(EnergyBasedModel):
             return self._particles_gibbs_step(state, v, H,
                                               jax.random.fold_in(key, i),
                                               sample=sample)
-        return jax.lax.fori_loop(0, n_steps, body, (v, H))
+        v, H = jax.lax.fori_loop(0, n_steps, body, (v, H))
+        return self._constrain_particles(v, H)
 
     def _mf_init(self, state, X):
         """Bottom-up initialization with doubled inputs for non-top layers
@@ -637,8 +650,15 @@ class DBM(EnergyBasedModel):
         rem = self._put(rem) if len(rem) else None
         return full, rem, n_full
 
+    def _init_writers(self):
+        from .utils.summary_writer import SummaryWriter
+        if getattr(self, '_train_writer', None) is None:
+            self._train_writer = SummaryWriter(self._train_summary_dirpath)
+            self._val_writer = SummaryWriter(self._val_summary_dirpath)
+
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
+        self._init_writers()
         epoch_prog = self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
@@ -673,6 +693,21 @@ class DBM(EnergyBasedModel):
             if X_val is not None and \
                     self.epoch_ % self.val_metrics_every_epoch == 0:
                 val_msre, val_n_mf = self._run_val_metrics(X_val)
+
+            if train_msre is not None:
+                self._train_writer.add_scalar('mean_squared_recon_error',
+                                              train_msre, self.iter_)
+            if train_n_mf is not None:
+                self._train_writer.add_scalar('n_mf_updates', train_n_mf,
+                                              self.iter_)
+            if val_msre is not None:
+                self._val_writer.add_scalar('mean_squared_recon_error',
+                                            val_msre, self.iter_)
+            if val_n_mf is not None:
+                self._val_writer.add_scalar('n_mf_updates', val_n_mf,
+                                            self.iter_)
+            self._train_writer.flush()
+            self._val_writer.flush()
 
             if self.verbose:
                 s = 'epoch: {0:{1}}/{2}'.format(

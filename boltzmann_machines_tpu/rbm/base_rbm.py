@@ -656,8 +656,22 @@ class BaseRBM(EnergyBasedModel):
         return mean_fe(X_val, jax.random.fold_in(key, 1)) - \
             mean_fe(X, jax.random.fold_in(key, 0))
 
+    def _init_writers(self):
+        from ..utils.summary_writer import SummaryWriter
+        if getattr(self, '_train_writer', None) is None:
+            self._train_writer = SummaryWriter(self._train_summary_dirpath)
+            self._val_writer = SummaryWriter(self._val_summary_dirpath)
+
+    _metrics_names_map = {
+        'feg': 'free_energy_gap',
+        'l2_loss': 'l2_loss',
+        'msre': 'mean_squared_reconstruction_error',
+        'pll': 'pseudo_loglikelihood',
+    }
+
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
+        self._init_writers()
         use_pallas = self._pallas_eligible()
         epoch_prog = None if use_pallas else \
             self._program('train_epoch', self._train_epoch_program)
@@ -687,6 +701,18 @@ class BaseRBM(EnergyBasedModel):
             if X_val is not None and self.metrics_config['feg'] and \
                     self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
                 feg = self._run_feg(X, X_val)
+
+            for m, v in train_results.items():
+                self._train_writer.add_scalar(self._metrics_names_map[m], v,
+                                              self.iter_)
+            for m, v in val_results.items():
+                self._val_writer.add_scalar(self._metrics_names_map[m], v,
+                                            self.iter_)
+            if feg is not None:
+                self._val_writer.add_scalar(self._metrics_names_map['feg'],
+                                            feg, self.iter_)
+            self._train_writer.flush()
+            self._val_writer.flush()
 
             if self.verbose:
                 s = 'epoch: {0:{1}}/{2}'.format(

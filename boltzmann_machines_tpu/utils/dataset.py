@@ -36,6 +36,13 @@ def load_mnist(mode='train', path='.'):
     else:
         raise ValueError("`mode` must be 'train' or 'test'")
 
+    # fast path: native C++ IDX decoder (utils/native.py); numpy fallback
+    from .native import load_idx3, load_idx1
+    data = load_idx3(fname_data, scale=1.0)
+    target = load_idx1(fname_target)
+    if data is not None and target is not None:
+        return data.astype(float), target
+
     with open(fname_data, 'rb') as fdata:
         magic, n_samples, n_rows, n_cols = struct.unpack('>IIII', fdata.read(16))
         data = np.fromfile(fdata, dtype=np.uint8)

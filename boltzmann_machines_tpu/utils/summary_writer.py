@@ -1,0 +1,129 @@
+"""Dependency-free TensorBoard event-file writer.
+
+The reference streams scalar metrics to TensorBoard via TF FileWriters
+(tf_model.py:110-115); this module reproduces that observability channel
+without TensorFlow: it hand-encodes the tiny protobuf subset TensorBoard
+needs (Event{wall_time, step, Summary{value{tag, simple_value}}}) and frames
+records in the TFRecord format (length + masked crc32c).
+
+Files land in the model's logs/train and logs/val directories and open in
+stock TensorBoard.  Also mirrors every scalar to a plain JSONL stream next
+to the event file for tooling that prefers text.
+"""
+
+import json
+import os
+import struct
+import time
+
+# ---------------------------------------------------------------------- #
+# crc32c (software implementation, Castagnoli polynomial)                 #
+# ---------------------------------------------------------------------- #
+_CRC_TABLE = []
+
+
+def _make_table():
+    poly = 0x82F63B78
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+        _CRC_TABLE.append(crc)
+
+
+_make_table()
+
+
+def _crc32c(data):
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data):
+    crc = _crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------- #
+# minimal protobuf encoding                                               #
+# ---------------------------------------------------------------------- #
+def _varint(n):
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _key(field, wire):
+    return _varint((field << 3) | wire)
+
+
+def _pb_double(field, value):
+    return _key(field, 1) + struct.pack('<d', value)
+
+
+def _pb_float(field, value):
+    return _key(field, 5) + struct.pack('<f', value)
+
+
+def _pb_int64(field, value):
+    return _key(field, 0) + _varint(value & 0xFFFFFFFFFFFFFFFF)
+
+
+def _pb_bytes(field, data):
+    return _key(field, 2) + _varint(len(data)) + data
+
+
+def _encode_event(tag, value, step, wall_time):
+    # Summary.Value { tag = 1 (string); simple_value = 2 (float) }
+    sval = _pb_bytes(1, tag.encode()) + _pb_float(2, float(value))
+    # Summary { value = 1 (repeated message) }
+    summary = _pb_bytes(1, sval)
+    # Event { wall_time = 1 (double); step = 2 (int64); summary = 5 }
+    return (_pb_double(1, wall_time) + _pb_int64(2, int(step)) +
+            _pb_bytes(5, summary))
+
+
+class SummaryWriter(object):
+    """Append-only scalar event writer (TensorBoard-compatible)."""
+
+    def __init__(self, logdir):
+        self.logdir = logdir
+        os.makedirs(logdir, exist_ok=True)
+        fname = 'events.out.tfevents.{0}.bmtpu'.format(int(time.time() * 1e6))
+        self._path = os.path.join(logdir, fname)
+        self._jsonl = os.path.join(logdir, 'scalars.jsonl')
+        self._f = open(self._path, 'ab')
+        self._j = open(self._jsonl, 'a')
+        # TensorBoard expects a version event first
+        self._write_record(_pb_double(1, time.time()) +
+                           _pb_bytes(3, b'brain.Event:2'))
+
+    def _write_record(self, payload):
+        header = struct.pack('<Q', len(payload))
+        self._f.write(header)
+        self._f.write(struct.pack('<I', _masked_crc(header)))
+        self._f.write(payload)
+        self._f.write(struct.pack('<I', _masked_crc(payload)))
+
+    def add_scalar(self, tag, value, step):
+        now = time.time()
+        self._write_record(_encode_event(tag, value, step, now))
+        self._j.write(json.dumps({'tag': tag, 'value': float(value),
+                                  'step': int(step), 'wall_time': now}) + '\n')
+
+    def flush(self):
+        self._f.flush()
+        self._j.flush()
+
+    def close(self):
+        self.flush()
+        self._f.close()
+        self._j.close()

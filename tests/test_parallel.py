@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(conftest forces XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from boltzmann_machines_tpu import BernoulliRBM, DBM
+from boltzmann_machines_tpu.parallel import (make_mesh, shard_batch,
+                                             shard_model_columns, replicate)
+from boltzmann_machines_tpu.utils import RNG
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape['data'] == len(jax.devices())
+    assert mesh.shape['model'] == 1
+    mesh2 = make_mesh(shape=(4, 2))
+    assert mesh2.shape['data'] == 4 and mesh2.shape['model'] == 2
+    with pytest.raises(ValueError):
+        make_mesh(shape=(3, 2))
+
+
+def test_shard_helpers():
+    mesh = make_mesh()
+    X = np.zeros((16, 4), np.float32)
+    Xs = shard_batch(mesh, X)
+    assert Xs.sharding.spec[0] == 'data'
+    W = np.zeros((4, 16), np.float32)
+    mesh2 = make_mesh(shape=(4, 2))
+    Ws = shard_model_columns(mesh2, W)
+    assert Ws.sharding.spec[1] == 'model'
+    tree = replicate(mesh, {'a': np.ones(3)})
+    assert tree['a'].sharding.is_fully_replicated
+
+
+def test_rbm_trains_on_mesh(tmp_model_dir):
+    X = RNG(1).rand(64, 12).astype('float32')
+    mesh = make_mesh()
+    rbm = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=2, batch_size=16,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=1),
+                       model_path=tmp_model_dir)
+    rbm.set_mesh(mesh)
+    rbm.fit(X)
+    W = rbm.get_params_arrays('weights')['W']
+    assert np.all(np.isfinite(W))
+    H = rbm.transform(X)
+    assert H.shape == (64, 8)
+
+    # sharded training gives the same result as unsharded (same seed, same
+    # program -- GSPMD only changes the partitioning)
+    rbm2 = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=2, batch_size=16,
+                        random_seed=1337, verbose=False,
+                        save_after_each_epoch=False,
+                        metrics_config=dict(msre=True,
+                                            train_metrics_every_iter=1),
+                        model_path=tmp_model_dir + 'b/')
+    rbm2.fit(X)
+    np.testing.assert_allclose(W, rbm2.get_params_arrays('weights')['W'],
+                               atol=1e-5)
+
+
+def test_dbm_trains_on_mesh(tmp_model_dir):
+    X = (RNG(1).rand(64, 12) < 0.5).astype('float32')
+    r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True, max_epoch=1,
+                      batch_size=16, random_seed=1, verbose=False,
+                      model_path=tmp_model_dir + 'r1/')
+    r1.fit(X)
+    r2 = BernoulliRBM(n_visible=8, n_hidden=6, dbm_last=True, max_epoch=1,
+                      batch_size=16, random_seed=2, verbose=False,
+                      model_path=tmp_model_dir + 'r2/')
+    r2.fit(r1.transform(X))
+
+    dbm = DBM(rbms=[r1, r2], n_particles=16, n_gibbs_steps=2,
+              max_mf_updates=10, learning_rate=0.01, momentum=0.5,
+              max_epoch=2, batch_size=16, max_norm=4., random_seed=3,
+              verbose=False, model_path=tmp_model_dir + 'dbm/')
+    dbm.set_mesh(make_mesh())
+    dbm.fit(X)
+    s = dbm.get_params_arrays('weights')
+    assert all(np.all(np.isfinite(v)) for v in s.values())
+    # particles stay sharded along 'data'
+    assert dbm._state['v'].sharding.spec[0] == 'data'
+    G = dbm.transform(X)
+    assert G.shape == (64, 6)

@@ -28,7 +28,8 @@ def test_log_sum_exp_goldens():
 
 
 def test_log_mean_exp():
-    assert np.isclose(U.log_mean_exp([1, 2, 3]), 2.308163)
+    assert np.isclose(U.log_mean_exp([1, 2, 3]),
+                      np.log(np.mean(np.exp([1., 2., 3.]))))
 
 
 def test_log_diff_exp():
