@@ -60,7 +60,7 @@ class DBM(EnergyBasedModel):
                  train_metrics_every_iter=10, val_metrics_every_epoch=1,
                  verbose=False, save_after_each_epoch=True,
                  display_filters=0, display_particles=0, v_shape=(28, 28),
-                 model_path='dbm_model/', *args, **kwargs):
+                 kernel='auto', model_path='dbm_model/', *args, **kwargs):
         super(DBM, self).__init__(model_path=model_path, *args, **kwargs)
         self.n_layers_ = len(rbms) if rbms is not None else None
         self.n_visible_ = None
@@ -112,6 +112,11 @@ class DBM(EnergyBasedModel):
         self.v_shape = tuple(v_shape)
         if len(self.v_shape) == 2:
             self.v_shape = (self.v_shape[0], self.v_shape[1], 1)
+
+        # 'auto' uses the fused Pallas AIS kernel on TPU for 2-layer
+        # Bernoulli DBMs; 'xla' forces the lax paths everywhere.
+        assert kernel in ('auto', 'xla', 'pallas')
+        self.kernel = kernel
 
         self.epoch_ = 0
         self.iter_ = 0
@@ -495,6 +500,32 @@ class DBM(EnergyBasedModel):
             self._programs[name] = builder()
         return self._programs[name]
 
+    def _pallas_epoch_eligible(self):
+        """The fused DBM epoch kernel covers all-Bernoulli float32 DBMs on
+        a single TPU chip (the dbm_mnist flagship configuration)."""
+        self._ensure_layers()
+        if self.kernel == 'xla':
+            return False
+        ok = (all(isinstance(l, BernoulliLayer)
+                  for l in [self._v_layer] + self._h_layers)
+              and self.dtype == 'float32'
+              and self._mesh is None
+              and jax.default_backend() != 'cpu')
+        return ok
+
+    def _pallas_epoch_program(self, k, n_batches):
+        from .ops.pallas_dbm import make_dbm_epoch_kernel
+        if n_batches * 512 > 4 * 1024 * 1024:
+            return None
+        return make_dbm_epoch_kernel(
+            [self.n_visible_] + list(self.n_hiddens_),
+            self.batch_size, self.n_particles, k,
+            int(self.max_mf_updates), float(self.mf_tol),
+            bool(self.sample_v_states), list(self.sample_h_states),
+            float(self.l2), self.max_norm,
+            list(self.sparsity_target), list(self.sparsity_cost),
+            float(self.sparsity_damping))
+
     def _train_epoch_program(self):
         def epoch_fn(state, X_batches, lr, momentum, k, key, iter0):
             def scan_body(carry, X_batch):
@@ -659,7 +690,9 @@ class DBM(EnergyBasedModel):
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
         self._init_writers()
-        epoch_prog = self._program('train_epoch', self._train_epoch_program)
+        use_pallas = self._pallas_epoch_eligible()
+        epoch_prog = None if use_pallas else \
+            self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
 
@@ -671,9 +704,23 @@ class DBM(EnergyBasedModel):
             k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
             ekey = jax.random.fold_in(self._fit_key, self.epoch_)
 
-            self._state, it, (msres, n_mfs) = epoch_prog(
-                self._state, full, lr, mom, k, ekey, self.iter_)
-            self.iter_ = int(it)
+            if use_pallas:
+                prog = self._program(
+                    ('pallas_epoch', k, int(full.shape[0])),
+                    lambda: self._pallas_epoch_program(k, int(full.shape[0])))
+                if prog is None:
+                    use_pallas = False
+                    epoch_prog = self._program('train_epoch',
+                                               self._train_epoch_program)
+            if use_pallas:
+                seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
+                self._state, msres, n_mfs = prog(self._state, full, lr, mom,
+                                                 seed)
+                self.iter_ += int(full.shape[0])
+            else:
+                self._state, it, (msres, n_mfs) = epoch_prog(
+                    self._state, full, lr, mom, k, ekey, self.iter_)
+                self.iter_ = int(it)
             msres = np.asarray(msres)
             n_mfs = np.asarray(n_mfs)
             if rem is not None:
@@ -796,15 +843,34 @@ class DBM(EnergyBasedModel):
         for L in [self._v_layer] + self._h_layers:
             assert isinstance(L, BernoulliLayer)
 
-        prog = self._program('ais_{0}'.format(n_betas),
-                             lambda: self._ais_program(n_betas))
         key = self.make_prng_key()
         k0, key = jax.random.split(key)
         x0 = (jax.random.uniform(k0, (n_runs, self.n_hiddens_[0]),
                                  dtype=self._jnp_dtype) < 0.5) \
             .astype(self._jnp_dtype)
-        x0 = self._put(x0)
-        values = np.asarray(prog(self._state, int(n_gibbs_steps), key, x0))
+
+        use_pallas = (self.kernel != 'xla' and self.dtype == 'float32'
+                      and self._mesh is None and n_runs % 8 == 0
+                      and jax.default_backend() != 'cpu')
+        if use_pallas:
+            from .ops.pallas_dbm import make_ais_kernel
+            prog = self._program(
+                ('pallas_ais', n_betas, n_runs, int(n_gibbs_steps)),
+                lambda: make_ais_kernel(
+                    self.n_visible_, self.n_hiddens_[0], self.n_hiddens_[1],
+                    n_betas, int(n_gibbs_steps), n_runs,
+                    sample_v=self.sample_v_states,
+                    sample_h0=self.sample_h_states[0],
+                    sample_h1=self.sample_h_states[1]))
+            seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+            log_Z0 = (self.n_visible_ + self.n_hiddens_[0] +
+                      self.n_hiddens_[1]) * np.log(2.)
+            values = np.asarray(prog(self._state, seed, x0)) + log_Z0
+        else:
+            prog = self._program('ais_{0}'.format(n_betas),
+                                 lambda: self._ais_program(n_betas))
+            x0 = self._put(x0)
+            values = np.asarray(prog(self._state, int(n_gibbs_steps), key, x0))
 
         log_mean = log_mean_exp(values)
         log_std = log_std_exp(values, log_mean_exp_x=log_mean)
