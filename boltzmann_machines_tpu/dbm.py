@@ -563,11 +563,29 @@ class DBM(EnergyBasedModel):
             return mu[-1]
         return jax.jit(transform_fn)
 
+    def _transform_scan_program(self):
+        def fn(state, X_batches):
+            def body(_, X_batch):
+                mu, _ = self._mf(state, X_batch)
+                return 0, mu[-1]
+            _, G = jax.lax.scan(body, 0, X_batches)
+            return G
+        return jax.jit(fn)
+
     def _reconstruct_program(self):
         def recon_fn(state, X_batch):
             mu, _ = self._mf(state, X_batch)
             return self._reconstruction_means(state, mu[0])
         return jax.jit(recon_fn)
+
+    def _reconstruct_scan_program(self):
+        def fn(state, X_batches):
+            def body(_, X_batch):
+                mu, _ = self._mf(state, X_batch)
+                return 0, self._reconstruction_means(state, mu[0])
+            _, R = jax.lax.scan(body, 0, X_batches)
+            return R
+        return jax.jit(fn)
 
     def _sample_v_program(self):
         def sample_fn(state, k, key):
@@ -663,7 +681,19 @@ class DBM(EnergyBasedModel):
             S2 = -s2 * jnp.log(s2) - (1. - s2) * jnp.log(1. - s2)
             ent = jnp.sum(S1, axis=1) + jnp.sum(S2, axis=1)
             return minus_E + ent
+        self._log_proba_fn = lp_fn
         return jax.jit(lp_fn)
+
+    def _log_proba_scan_program(self):
+        self._program('log_proba', self._log_proba_program)
+        fn = self._log_proba_fn
+
+        def scan_fn(state, X_batches):
+            def body(_, X_batch):
+                return 0, fn(state, X_batch)
+            _, P = jax.lax.scan(body, 0, X_batches)
+            return P
+        return jax.jit(scan_fn)
 
     # ================================================================== #
     # fit loop                                                            #
@@ -793,29 +823,34 @@ class DBM(EnergyBasedModel):
         """Last-layer variational activations mu_L (reference dbm.py:859-872)."""
         self._ensure_state()
         np_dtype = np_dtype or self._np_dtype
-        prog = self._program('transform', self._transform_program)
+        full, rem, n_full = self._stage_batches(X)
         G = np.zeros((len(X), self.n_hiddens_[-1]), dtype=np_dtype)
-        start = 0
-        for X_b in batch_iter(X, batch_size=self.batch_size,
-                              verbose=self.verbose, desc='transform'):
-            Xb = jnp.asarray(self._preprocess(X_b))
-            G_b = prog(self._state, Xb)
-            G[start:start + len(X_b)] = np.asarray(G_b, dtype=np_dtype)
-            start += len(X_b)
+        if n_full:
+            prog = self._program('transform_scan', self._transform_scan_program)
+            G_full = prog(self._state, full)
+            G[:n_full * self.batch_size] = np.asarray(
+                G_full, dtype=np_dtype).reshape(-1, self.n_hiddens_[-1])
+        if rem is not None:
+            prog = self._program('transform', self._transform_program)
+            G_b = prog(self._state, rem)
+            G[n_full * self.batch_size:] = np.asarray(G_b, dtype=np_dtype)
         return G
 
     def reconstruct(self, X):
         """p(v | h0 = mu0(x)) reconstruction means (dbm.py:874-885)."""
         self._ensure_state()
-        prog = self._program('reconstruct', self._reconstruct_program)
+        full, rem, n_full = self._stage_batches(X)
         X_recon = np.zeros_like(np.asarray(X, dtype=self._np_dtype))
-        start = 0
-        for X_b in batch_iter(X, batch_size=self.batch_size,
-                              verbose=self.verbose, desc='reconstruction'):
-            Xb = jnp.asarray(self._preprocess(X_b))
-            R_b = prog(self._state, Xb)
-            X_recon[start:start + len(X_b)] = np.asarray(R_b)
-            start += len(X_b)
+        if n_full:
+            prog = self._program('reconstruct_scan',
+                                 self._reconstruct_scan_program)
+            R = prog(self._state, full)
+            X_recon[:n_full * self.batch_size] = np.asarray(R).reshape(
+                -1, self.n_visible_)
+        if rem is not None:
+            prog = self._program('reconstruct', self._reconstruct_program)
+            X_recon[n_full * self.batch_size:] = np.asarray(
+                prog(self._state, rem))
         return X_recon
 
     def sample_v(self, n_gibbs_steps=0, save_model=False):
@@ -885,13 +920,14 @@ class DBM(EnergyBasedModel):
         for L in [self._v_layer] + self._h_layers:
             assert isinstance(L, BernoulliLayer)
 
-        prog = self._program('log_proba', self._log_proba_program)
+        full, rem, n_full = self._stage_batches(X_test)
         P = np.zeros(len(X_test))
-        start = 0
-        for X_b in batch_iter(X_test, batch_size=self.batch_size,
-                              verbose=self.verbose):
-            Xb = jnp.asarray(self._preprocess(X_b))
-            P_b = prog(self._state, Xb)
-            P[start:start + len(X_b)] = np.asarray(P_b)
-            start += len(X_b)
+        if n_full:
+            scan_prog = self._program('log_proba_scan',
+                                      self._log_proba_scan_program)
+            P_full = scan_prog(self._state, full)
+            P[:n_full * self.batch_size] = np.asarray(P_full).reshape(-1)
+        if rem is not None:
+            prog = self._program('log_proba', self._log_proba_program)
+            P[n_full * self.batch_size:] = np.asarray(prog(self._state, rem))
         return P - log_Z

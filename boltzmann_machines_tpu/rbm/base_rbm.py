@@ -458,16 +458,28 @@ class BaseRBM(EnergyBasedModel):
             return fes
         return jax.jit(fe_fn)
 
+    def _transform_one(self, state, X_batch, k, key):
+        kd, kh, kc = jax.random.split(key, 3)
+        X = self._maybe_dropout(kd, X_batch)
+        h0_means = self._means_h_given_v(state, X)
+        h0_samples = self._h_layer.sample(kh, h0_means)
+        h_states = h0_samples if self.sample_h_states else h0_means
+        _, _, _, h_means = self._gibbs_chain(state, h_states, k, key=kc)
+        return h_means
+
     def _transform_program(self):
-        def transform_fn(state, X_batch, k, key):
-            kd, kh, kc = jax.random.split(key, 3)
-            X = self._maybe_dropout(kd, X_batch)
-            h0_means = self._means_h_given_v(state, X)
-            h0_samples = self._h_layer.sample(kh, h0_means)
-            h_states = h0_samples if self.sample_h_states else h0_means
-            _, _, _, h_means = self._gibbs_chain(state, h_states, k, key=kc)
-            return h_means
-        return jax.jit(transform_fn)
+        return jax.jit(self._transform_one)
+
+    def _transform_scan_program(self):
+        """All full batches in one dispatch (python-loop dispatch costs
+        ~ms each on remote TPU backends)."""
+        def fn(state, X_batches, k, key):
+            def body(i, X_batch):
+                return i + 1, self._transform_one(
+                    state, X_batch, k, jax.random.fold_in(key, i))
+            _, H = jax.lax.scan(body, 0, X_batches)
+            return H
+        return jax.jit(fn)
 
     # ---------------------------- pallas fast path -------------------- #
     def _pallas_eligible(self):
@@ -762,19 +774,20 @@ class BaseRBM(EnergyBasedModel):
         intermediate hidden states are sampled)."""
         self._ensure_state()
         np_dtype = np_dtype or self._np_dtype
-        prog = self._program('transform', self._transform_program)
         key = self.make_prng_key()
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
 
+        full, rem, n_full = self._stage_batches(X)
         H = np.zeros((len(X), self.n_hidden), dtype=np_dtype)
-        start = 0
-        for i, X_b in enumerate(batch_iter(X, batch_size=self.batch_size,
-                                           verbose=self.verbose,
-                                           desc='transform')):
-            Xb = jnp.asarray(self._preprocess(X_b))
-            H_b = prog(self._state, Xb, k, jax.random.fold_in(key, i))
-            H[start:start + len(X_b)] = np.asarray(H_b, dtype=np_dtype)
-            start += len(X_b)
+        if n_full:
+            prog = self._program('transform_scan', self._transform_scan_program)
+            H_full = prog(self._state, full, k, key)
+            H[:n_full * self.batch_size] = np.asarray(
+                H_full, dtype=np_dtype).reshape(-1, self.n_hidden)
+        if rem is not None:
+            prog = self._program('transform', self._transform_program)
+            H_b = prog(self._state, rem, k, jax.random.fold_in(key, n_full))
+            H[n_full * self.batch_size:] = np.asarray(H_b, dtype=np_dtype)
         return H
 
     def free_energy(self, X):
