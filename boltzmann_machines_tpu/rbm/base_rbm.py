@@ -234,12 +234,25 @@ class BaseRBM(EnergyBasedModel):
         self._programs = {}  # hyperparams may have changed -> rebuild programs
         return super(BaseRBM, self).set_params(**params)
 
-    def set_mesh(self, mesh, data_axis='data'):
+    def set_mesh(self, mesh, data_axis='data', model_axis=None):
         """Attach a ``jax.sharding.Mesh``: training batches are sharded along
-        `data_axis`; parameters are replicated and gradient statistics are
-        reduced by XLA-inserted collectives over ICI."""
+        `data_axis`; gradient statistics are reduced by XLA-inserted
+        collectives over ICI.
+
+        With `model_axis`, the weight matrix's hidden columns (and hidden
+        biases / accumulators) are sharded along that axis -- tensor
+        parallelism for the largest RBMs (e.g. the 3072x7800 CIFAR G-RBM)."""
         self._mesh = (mesh, data_axis)
         self._programs = {}
+        if model_axis is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._ensure_state()
+            col = NamedSharding(mesh, P(None, model_axis))
+            vec = NamedSharding(mesh, P(model_axis))
+            for k in ('W', 'dW'):
+                self._state[k] = jax.device_put(self._state[k], col)
+            for k in ('hb', 'dhb', 'q_means'):
+                self._state[k] = jax.device_put(self._state[k], vec)
         return self
 
     # ================================================================== #

@@ -64,6 +64,29 @@ def test_rbm_trains_on_mesh(tmp_model_dir):
                                atol=1e-5)
 
 
+def test_rbm_model_parallel(tmp_model_dir):
+    """Tensor-parallel hidden columns: training still works and matches the
+    replicated result."""
+    X = RNG(1).rand(64, 16).astype('float32')
+    mesh = make_mesh(shape=(4, 2))
+    rbm = BernoulliRBM(n_visible=16, n_hidden=32, max_epoch=2, batch_size=16,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       model_path=tmp_model_dir)
+    rbm.set_mesh(mesh, model_axis='model')
+    assert rbm._state['W'].sharding.spec[1] == 'model'
+    rbm.fit(X)
+    W = rbm.get_params_arrays('weights')['W']
+
+    ref = BernoulliRBM(n_visible=16, n_hidden=32, max_epoch=2, batch_size=16,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       model_path=tmp_model_dir + 'b/')
+    ref.fit(X)
+    np.testing.assert_allclose(W, ref.get_params_arrays('weights')['W'],
+                               atol=1e-5)
+
+
 def test_dbm_trains_on_mesh(tmp_model_dir):
     X = (RNG(1).rand(64, 12) < 0.5).astype('float32')
     r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True, max_epoch=1,
