@@ -12,9 +12,11 @@ Two levels of fusion:
   per-step kernel-launch latency and keeps W resident, which is the
   dominant win on TPU (one launch per epoch instead of one per minibatch).
 
-The mega-kernel currently covers the sigmoid (Bernoulli-Bernoulli) RBM --
-the flagship MNIST model and the DBM-pretraining workhorse.  Other unit
-types fall back to the XLA path, which is also the reference for the
+The mega-kernel covers sigmoid-hidden RBMs with Bernoulli or fixed-sigma
+Gaussian visible units (the MNIST flagship and the CIFAR patch-RBM
+stages); Gaussian sampling uses Box-Muller on hardware-PRNG uniforms.
+Models whose W + dW exceed the VMEM budget (e.g. 3072x5000) and other
+unit types fall back to the XLA path, which is also the reference for the
 golden tests (with sampling disabled the two paths agree to float
 tolerance; with sampling they are distinct-but-valid PRNG streams).
 
@@ -39,6 +41,14 @@ def _uniform_bits(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     mant = (bits >> 9) | jnp.uint32(0x3f800000)
     return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+def _normal_from_bits(shape):
+    """Standard normal float32 via Box-Muller on hardware-PRNG uniforms."""
+    u1 = jnp.maximum(_uniform_bits(shape), 1e-7)
+    u2 = _uniform_bits(shape)
+    r = jnp.sqrt(-2. * jnp.log(u1))
+    return r * jnp.cos((2. * np.pi) * u2)
 
 
 # ---------------------------------------------------------------------- #
@@ -68,7 +78,7 @@ def bernoulli_sample(seed, probs):
 # ---------------------------------------------------------------------- #
 # fused CD-k epoch for sigmoid-sigmoid RBMs                               #
 # ---------------------------------------------------------------------- #
-def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref,
+def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                      W_in, vb_in, hb_in, dW_in, dvb_in, dhb_in, q_in,
                      W_o, vb_o, hb_o, dW_o, dvb_o, dhb_o, q_o,
                      msre_o, pll_o, dma_sems,
@@ -76,7 +86,7 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref,
                      sample_v_states, sample_h_states,
                      propup_mult, propdown_mult,
                      l2, sparsity_target, sparsity_cost, sparsity_damping,
-                     metrics_every, compute_pll):
+                     metrics_every, compute_pll, visible):
     i = pl.program_id(0)
     pltpu.prng_seed(scalars_ref[0], i)
     lr = sched_ref[0]
@@ -118,12 +128,22 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref,
     else:
         h_states = h0_means
 
+    def v_activation(h_states):
+        if visible == 'gaussian':
+            # GaussianLayer.activation(mult*x, mult*vb) = mult*x*sigma+mult*vb
+            return down * propdown(h_states) * sigma_ref[:] + down * vb
+        return jax.nn.sigmoid(down * (propdown(h_states) + vb))
+
+    def v_sample(v_means):
+        if visible == 'gaussian':
+            return v_means + _normal_from_bits(v_means.shape) * sigma_ref[:]
+        return (_uniform_bits(v_means.shape) < v_means).astype(f32)
+
     v_means = X
     h_means = h0_means
     for _step in range(k):
-        v_means = jax.nn.sigmoid(down * (propdown(h_states) + vb))
-        v_states = ((_uniform_bits(v_means.shape) < v_means).astype(f32)
-                    if sample_v_states else v_means)
+        v_means = v_activation(h_states)
+        v_states = v_sample(v_means) if sample_v_states else v_means
         h_means = jax.nn.sigmoid(up * (propup(v_states) + hb))
         h_states = ((_uniform_bits(h_means.shape) < h_means).astype(f32)
                     if sample_h_states else h_means)
@@ -196,8 +216,10 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                          propup_mult, propdown_mult,
                          l2, sparsity_target, sparsity_cost,
                          sparsity_damping, metrics_every,
-                         compute_pll=True, interpret=False):
-    """Build the fused CD-k epoch program for a Bernoulli-Bernoulli RBM.
+                         compute_pll=True, interpret=False,
+                         visible='bernoulli', sigma=None):
+    """Build the fused CD-k epoch program for a sigmoid-hidden RBM with
+    Bernoulli or Gaussian (fixed-sigma) visible units.
 
     Returns ``epoch(state, X_batches, lr, momentum, seed, iter0)`` ->
     ``(state, msre_per_batch, pll_per_batch)`` where `X_batches` is
@@ -205,6 +227,12 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
     state dict.  One kernel launch per epoch; W stays in VMEM throughout.
     """
     V, H, B = n_visible, n_hidden, batch_size
+    assert visible in ('bernoulli', 'gaussian')
+    assert not (visible == 'gaussian' and compute_pll)
+    sigma_arr = (np.ones((1, V), np.float32) if sigma is None
+                 else np.broadcast_to(
+                     np.asarray(sigma, np.float32).reshape(1, -1),
+                     (1, V)).copy())
 
     kernel = functools.partial(
         _cd_epoch_kernel, k=k, batch_size=B, n_visible=V,
@@ -212,7 +240,7 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
         propup_mult=propup_mult, propdown_mult=propdown_mult,
         l2=l2, sparsity_target=sparsity_target, sparsity_cost=sparsity_cost,
         sparsity_damping=sparsity_damping, metrics_every=metrics_every,
-        compute_pll=compute_pll)
+        compute_pll=compute_pll, visible=visible)
 
     def const2d(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -252,6 +280,7 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, B, V), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
+                const2d((1, V)),  # sigma
             ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
             out_specs=(
                 const2d((V, H)), const2d((1, V)), const2d((1, H)),
@@ -264,10 +293,10 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             scratch_shapes=[pltpu.SemaphoreType.DMA((7,))],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=('arbitrary',),
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=(pltpu.InterpretParams() if interpret else False),
-        )(scalars, sched, X_batches, *in_state)
+        )(scalars, sched, X_batches, jnp.asarray(sigma_arr), *in_state)
 
         (W, vb, hb, dW, dvb, dhb, q, msre, pll) = outs
         new_state = {

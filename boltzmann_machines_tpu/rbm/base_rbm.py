@@ -495,14 +495,29 @@ class BaseRBM(EnergyBasedModel):
         return jax.jit(fn)
 
     # ---------------------------- pallas fast path -------------------- #
+    def _pallas_visible_kind(self):
+        """('bernoulli'|'gaussian'|None, sigma) for the fused kernel."""
+        from ..layers import BernoulliLayer, GaussianLayer
+        if isinstance(self._v_layer, BernoulliLayer):
+            return 'bernoulli', None
+        if isinstance(self._v_layer, GaussianLayer):
+            return 'gaussian', np.broadcast_to(
+                np.asarray(self._v_layer.sigma, np.float32).reshape(1, -1)
+                if np.ndim(self._v_layer.sigma) else
+                np.float32(self._v_layer.sigma), (1, self.n_visible))
+        return None, None
+
     def _pallas_eligible(self):
-        """The fused CD-epoch kernel covers sigmoid-sigmoid RBMs in float32
-        without dropout on a real TPU (single chip)."""
+        """The fused CD-epoch kernel covers sigmoid-hidden RBMs with
+        Bernoulli or fixed-sigma Gaussian visible units, in float32 without
+        dropout on a real TPU (single chip).  PLL needs Bernoulli visibles."""
         from ..layers import BernoulliLayer
         if self.kernel == 'xla':
             return False
-        ok = (isinstance(self._v_layer, BernoulliLayer)
+        kind, _ = self._pallas_visible_kind()
+        ok = (kind is not None
               and isinstance(self._h_layer, BernoulliLayer)
+              and not (kind == 'gaussian' and self.metrics_config['pll'])
               and self.dtype == 'float32'
               and self.dropout is None
               and self._mesh is None
@@ -514,9 +529,17 @@ class BaseRBM(EnergyBasedModel):
 
     def _pallas_epoch_program(self, k, n_batches):
         from ..ops.pallas_ops import make_cd_epoch_kernel
-        # per-batch metric rows live in VMEM; fall back when they would not fit
-        if n_batches * 512 > 4 * 1024 * 1024:
+        # VMEM budget: W + dW resident for the whole epoch, plus the batch
+        # tile, ~5 batch-sized intermediates, and per-batch metric rows.
+        # Models past ~100MB (e.g. the 3072x5000 CIFAR G-RBM) fall back to
+        # the XLA path until a hidden-tiled kernel variant lands.
+        vmem = (2 * self.n_visible * self.n_hidden * 4
+                + self.batch_size * (2 * self.n_visible + 5 * self.n_hidden) * 4
+                + n_batches * 1024
+                + 12 * (self.n_visible + self.n_hidden) * 4)
+        if vmem > 96 * 1024 * 1024:
             return None
+        kind, sigma = self._pallas_visible_kind()
         return make_cd_epoch_kernel(
             self.n_visible, self.n_hidden, self.batch_size, k,
             self.sample_v_states, self.sample_h_states,
@@ -524,7 +547,8 @@ class BaseRBM(EnergyBasedModel):
             float(self.l2), float(self.sparsity_target),
             float(self.sparsity_cost), float(self.sparsity_damping),
             int(self.metrics_config['train_metrics_every_iter']),
-            compute_pll=bool(self.metrics_config['pll']))
+            compute_pll=bool(self.metrics_config['pll']),
+            visible=kind, sigma=sigma)
 
     def _train_epoch_pallas(self, step_prog, full, rem, base_key):
         lr = float(schedule_value(self.learning_rate, self.epoch_))

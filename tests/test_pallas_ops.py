@@ -80,6 +80,42 @@ def test_bernoulli_sample_statistics():
 
 
 @requires_tpu
+def test_gaussian_cd_epoch_kernel_matches_xla(tmp_path):
+    from boltzmann_machines_tpu import GaussianRBM
+    g = GaussianRBM(n_visible=192, n_hidden=256, sigma=1., batch_size=64,
+                    random_seed=1, sample_v_states=False,
+                    sample_h_states=False, l2=1e-3, sparsity_cost=1e-3,
+                    verbose=False, save_after_each_epoch=False,
+                    metrics_config=dict(msre=True,
+                                        train_metrics_every_iter=2),
+                    model_path=str(tmp_path) + '/')
+    g._ensure_state()
+    import jax.tree_util as jtu
+    X = np.random.RandomState(0).randn(64 * 8, 192).astype(np.float32)
+    full, rem, nb = g._stage_batches(X)
+    s0 = jtu.tree_map(jnp.copy, g._state)
+    s1 = jtu.tree_map(jnp.copy, g._state)
+    ep_xla = g._program('train_epoch', g._train_epoch_program)
+    sx, _, _ = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
+    assert g._pallas_eligible()
+    ep_pal = g._pallas_epoch_program(1, nb)
+    sp, _, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
+                                   atol=1e-5)
+
+
+@requires_tpu
+def test_oversize_model_falls_back(tmp_path):
+    """Models whose W+dW exceed the VMEM budget decline the fused kernel."""
+    from boltzmann_machines_tpu import GaussianRBM
+    g = GaussianRBM(n_visible=3072, n_hidden=5000, sigma=1., batch_size=100,
+                    verbose=False, model_path=str(tmp_path) + '/')
+    assert g._pallas_eligible()  # type-eligible...
+    assert g._pallas_epoch_program(1, 8) is None  # ...but size-declined
+
+
+@requires_tpu
 def test_fit_auto_uses_pallas_and_learns(tmp_path):
     from boltzmann_machines_tpu import BernoulliRBM
     rng = np.random.RandomState(7)
