@@ -108,6 +108,12 @@ class DBM(EnergyBasedModel):
         self.display_filters = display_filters
         assert display_particles <= self.n_particles
         self.display_particles = display_particles
+        if display_filters or display_particles:
+            import warnings
+            warnings.warn('display_filters/display_particles are accepted '
+                          'for API parity but TensorBoard image summaries '
+                          'are not yet reimplemented; scalar metric streams '
+                          'only (see PARITY.md)', stacklevel=2)
 
         self.v_shape = tuple(v_shape)
         if len(self.v_shape) == 2:
@@ -294,7 +300,13 @@ class DBM(EnergyBasedModel):
             return X
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh, axis = self._mesh
-        spec = P(None, axis, None) if batched else P(axis, None)
+        n_shards = mesh.shape[axis]
+        if batched:
+            spec = P(None, axis, None) if X.shape[1] % n_shards == 0 else P()
+        else:
+            # replicate remainder batches whose row count does not divide
+            # the data axis
+            spec = P(axis, None) if X.shape[0] % n_shards == 0 else P()
         return jax.device_put(X, NamedSharding(mesh, spec))
 
     # ================================================================== #
@@ -510,12 +522,21 @@ class DBM(EnergyBasedModel):
                   for l in [self._v_layer] + self._h_layers)
               and self.dtype == 'float32'
               and self._mesh is None
-              and jax.default_backend() != 'cpu')
+              and jax.default_backend() == 'tpu')
         return ok
 
     def _pallas_epoch_program(self, k, n_batches):
         from .ops.pallas_dbm import make_dbm_epoch_kernel
-        if n_batches * 512 > 4 * 1024 * 1024:
+        # VMEM budget: weights + accumulators live twice (W, dW), plus the
+        # persistent particles, one batch of mean-field buffers, the input
+        # tile, and per-batch metric rows -- all resident for the epoch.
+        sizes = [self.n_visible_] + list(self.n_hiddens_)
+        w_elems = sum(sizes[i] * sizes[i + 1] for i in range(self.n_layers_))
+        vmem = (2 * w_elems * 4
+                + (self.n_particles + 2 * self.batch_size) * sum(sizes) * 4
+                + n_batches * 1024
+                + 12 * sum(sizes) * 4)
+        if vmem > 96 * 1024 * 1024:
             return None
         return make_dbm_epoch_kernel(
             [self.n_visible_] + list(self.n_hiddens_),
@@ -734,7 +755,7 @@ class DBM(EnergyBasedModel):
             k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
             ekey = jax.random.fold_in(self._fit_key, self.epoch_)
 
-            if use_pallas:
+            if use_pallas and full.shape[0] > 0:
                 prog = self._program(
                     ('pallas_epoch', k, int(full.shape[0])),
                     lambda: self._pallas_epoch_program(k, int(full.shape[0])))
@@ -742,11 +763,16 @@ class DBM(EnergyBasedModel):
                     use_pallas = False
                     epoch_prog = self._program('train_epoch',
                                                self._train_epoch_program)
-            if use_pallas:
+            if use_pallas and full.shape[0] > 0:
                 seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
                 self._state, msres, n_mfs = prog(self._state, full, lr, mom,
                                                  seed)
                 self.iter_ += int(full.shape[0])
+            elif use_pallas:
+                # zero full batches: grid-step-0 state DMA would never run;
+                # only the remainder step below trains
+                msres = np.zeros((0,), np.float32)
+                n_mfs = np.zeros((0,), np.float32)
             else:
                 self._state, it, (msres, n_mfs) = epoch_prog(
                     self._state, full, lr, mom, k, ekey, self.iter_)
@@ -789,13 +815,13 @@ class DBM(EnergyBasedModel):
             if self.verbose:
                 s = 'epoch: {0:{1}}/{2}'.format(
                     self.epoch_, len(str(self.max_epoch)), self.max_epoch)
-                if train_msre:
+                if train_msre is not None:
                     s += '; msre: {0:.5f}'.format(train_msre)
-                if train_n_mf:
+                if train_n_mf is not None:
                     s += '; n_mf_upds: {0:.1f}'.format(train_n_mf)
-                if val_msre:
+                if val_msre is not None:
                     s += '; val.msre: {0:.5f}'.format(val_msre)
-                if val_n_mf:
+                if val_n_mf is not None:
                     s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
                 write_during_training(s)
 
@@ -886,7 +912,7 @@ class DBM(EnergyBasedModel):
 
         use_pallas = (self.kernel != 'xla' and self.dtype == 'float32'
                       and self._mesh is None and n_runs % 8 == 0
-                      and jax.default_backend() != 'cpu')
+                      and jax.default_backend() == 'tpu')
         if use_pallas:
             from .ops.pallas_dbm import make_ais_kernel
             prog = self._program(

@@ -139,30 +139,35 @@ class MLPClassifier(object):
         return ce + reg, new_bn
 
     def _multipliers(self):
-        mults = [float(cfg.get('lr_multiplier', 1.)) for cfg in self.layers]
-        mults.append(1.)
-        return mults
+        """Per-layer lr multipliers keyed by the params-list index prefix."""
+        return {str(i): float(cfg.get('lr_multiplier', 1.))
+                for i, cfg in enumerate(self.layers)}
 
     def _build_programs(self):
+        from .utils.optimizers import scale_by_multipliers
         adam = optax.scale_by_adam()
         mults = self._multipliers()
 
+        def train_step(params, bn_stats, opt_state, X, Y, lr, key):
+            (loss, new_bn), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(params, bn_stats, X, Y, key)
+            updates, opt_state = adam.update(grads, opt_state, params)
+            updates = scale_by_multipliers(updates, mults, lr)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, new_bn, opt_state, loss
+
         def train_epoch(params, bn_stats, opt_state, Xb, Yb, lr, key):
             def step(carry, xy):
-                params, bn_stats, opt_state = carry
+                params, bn_stats, opt_state, i = carry
                 X, Y = xy
-                (loss, new_bn), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, bn_stats, X, Y, key)
-                updates, opt_state = adam.update(grads, opt_state, params)
-                updates = [jax.tree_util.tree_map(
-                    lambda u, m=mults[i]: -lr * m * u, updates[i])
-                    for i in range(len(updates))]
-                params = jax.tree_util.tree_map(
-                    lambda p, u: p + u, params, updates)
-                return (params, new_bn, opt_state), loss
+                params, bn_stats, opt_state, loss = train_step(
+                    params, bn_stats, opt_state, X, Y, lr,
+                    jax.random.fold_in(key, i))
+                return (params, bn_stats, opt_state, i + 1), loss
 
-            (params, bn_stats, opt_state), losses = jax.lax.scan(
-                step, (params, bn_stats, opt_state), (Xb, Yb))
+            (params, bn_stats, opt_state, _), losses = jax.lax.scan(
+                step, (params, bn_stats, opt_state, 0), (Xb, Yb))
             return params, bn_stats, opt_state, jnp.mean(losses)
 
         def evaluate(params, bn_stats, X, Y):
@@ -172,7 +177,7 @@ class MLPClassifier(object):
             acc = jnp.mean(jnp.argmax(logits, 1) == jnp.argmax(Y, 1))
             return loss, acc
 
-        return jax.jit(train_epoch), jax.jit(evaluate)
+        return jax.jit(train_epoch), jax.jit(train_step), jax.jit(evaluate)
 
     # ------------------------------------------------------------------ #
     def fit(self, X, y, X_val=None, y_val=None):
@@ -184,12 +189,14 @@ class MLPClassifier(object):
         nb = len(X) // B
         Xb = jnp.asarray(X[:nb * B].reshape(nb, B, -1))
         Yb = jnp.asarray(Y[:nb * B].reshape(nb, B, -1))
+        X_rem = jnp.asarray(X[nb * B:]) if len(X) % B else None
+        Y_rem = jnp.asarray(Y[nb * B:]) if len(X) % B else None
         if X_val is not None:
             Xv = jnp.asarray(np.asarray(X_val, np.float32))
             Yv = jnp.asarray(one_hot(np.asarray(y_val),
                                      self.n_classes).astype(np.float32))
 
-        train_epoch, evaluate = self._build_programs()
+        train_epoch, train_step, evaluate = self._build_programs()
         adam = optax.scale_by_adam()
         opt_state = adam.init(self._params)
         lr = self.learning_rate
@@ -201,6 +208,10 @@ class MLPClassifier(object):
             key, k = jax.random.split(key)
             self._params, self._bn_stats, opt_state, loss = train_epoch(
                 self._params, self._bn_stats, opt_state, Xb, Yb, lr, k)
+            if X_rem is not None:
+                self._params, self._bn_stats, opt_state, _ = train_step(
+                    self._params, self._bn_stats, opt_state, X_rem, Y_rem,
+                    lr, jax.random.fold_in(k, nb))
             msg = 'mlp epoch {0}/{1}: loss {2:.4f}'.format(
                 epoch, self.max_epoch, float(loss))
             if X_val is not None:
@@ -228,13 +239,16 @@ class MLPClassifier(object):
 
     def predict_proba(self, X):
         X = np.asarray(X, np.float32)
-        _, evaluate = self._build_programs()
+        if not hasattr(self, '_infer_fn'):
+            def infer(params, bn_stats, X):
+                logits, _ = self._apply(params, bn_stats, X, False,
+                                        jax.random.PRNGKey(0))
+                return jax.nn.softmax(logits, axis=-1)
+            self._infer_fn = jax.jit(infer)
         out = []
         for Xb in batch_iter(X, batch_size=4096):
-            logits, _ = self._apply(self._params, self._bn_stats,
-                                    jnp.asarray(Xb), False,
-                                    jax.random.PRNGKey(0))
-            out.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+            out.append(np.asarray(self._infer_fn(
+                self._params, self._bn_stats, jnp.asarray(Xb))))
         return np.concatenate(out, 0)
 
     def predict(self, X):

@@ -147,6 +147,13 @@ class BaseRBM(EnergyBasedModel):
         self.display_filters = display_filters
         assert self.n_hidden >= display_hidden_activations
         self.display_hidden_activations = display_hidden_activations
+        if display_filters or display_hidden_activations:
+            import warnings
+            warnings.warn('display_filters/display_hidden_activations are '
+                          'accepted for API parity but TensorBoard image '
+                          'summaries are not yet reimplemented; scalar '
+                          'metric streams only (see PARITY.md)',
+                          stacklevel=2)
 
         self.v_shape = tuple(v_shape)
         if len(self.v_shape) == 2:
@@ -521,7 +528,7 @@ class BaseRBM(EnergyBasedModel):
               and self.dtype == 'float32'
               and self.dropout is None
               and self._mesh is None
-              and jax.default_backend() != 'cpu')
+              and jax.default_backend() == 'tpu')
         if self.kernel == 'pallas' and not ok:
             raise ValueError('kernel="pallas" requested but the model is '
                              'not eligible for the fused CD epoch kernel')
@@ -557,17 +564,23 @@ class BaseRBM(EnergyBasedModel):
         ekey = jax.random.fold_in(base_key, self.epoch_)
         seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
 
-        prog = self._program(('pallas_epoch', k, full.shape[0]),
-                             lambda: self._pallas_epoch_program(k, full.shape[0]))
-        if prog is None:
-            return None  # caller falls back to the XLA path
-
         iter0 = self.iter_
-        self._state, msre_s, pll_s = prog(self._state, full, lr, mom, seed,
-                                          iter0)
-        self.iter_ += int(full.shape[0])
-        msre_s = np.asarray(msre_s)
-        pll_s = np.asarray(pll_s)
+        if full.shape[0] > 0:
+            prog = self._program(
+                ('pallas_epoch', k, full.shape[0]),
+                lambda: self._pallas_epoch_program(k, full.shape[0]))
+            if prog is None:
+                return None  # caller falls back to the XLA path
+            self._state, msre_s, pll_s = prog(self._state, full, lr, mom,
+                                              seed, iter0)
+            self.iter_ += int(full.shape[0])
+            msre_s = np.asarray(msre_s)
+            pll_s = np.asarray(pll_s)
+        else:
+            # zero full batches: the kernel's grid-step-0 state DMA would
+            # never run -- only the remainder step below trains
+            msre_s = np.zeros((0,), np.float32)
+            pll_s = np.zeros((0,), np.float32)
         l2_s = np.zeros_like(msre_s)
         iters = iter0 + 1 + np.arange(len(msre_s))
         mask = (iters % self.metrics_config['train_metrics_every_iter']) == 0
@@ -618,7 +631,14 @@ class BaseRBM(EnergyBasedModel):
             return X
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh, axis = self._mesh
-        spec = P(None, axis, None) if batched else P(axis, None)
+        n_shards = mesh.shape[axis]
+        if batched:
+            spec = P(None, axis, None) if X.shape[1] % n_shards == 0 \
+                else P()
+        else:
+            # remainder batches have data-dependent row counts; replicate
+            # when they do not divide the data axis
+            spec = P(axis, None) if X.shape[0] % n_shards == 0 else P()
         return jax.device_put(X, NamedSharding(mesh, spec))
 
     # ================================================================== #

@@ -22,12 +22,32 @@ def multi_adam(learning_rate=0.001, lr_multipliers=None,
         `learning_rate * multiplier`; others get `learning_rate`.
     """
     lr_multipliers = dict(lr_multipliers or {})
+    base = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+
+    def init_fn(params):
+        return base.init(params)
+
+    def update_fn(updates, state, params=None):
+        updates, state = base.update(updates, state, params)
+        return scale_by_multipliers(updates, lr_multipliers,
+                                    learning_rate), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def scale_by_multipliers(updates, lr_multipliers, learning_rate):
+    """Scale an update pytree by ``-learning_rate * multiplier(path)``;
+    the shared core of `multi_adam` and the fine-tuning loop (where the
+    learning rate is dynamic for reduce-on-plateau)."""
+    lr_multipliers = dict(lr_multipliers or {})
 
     def path_str(path):
         parts = []
         for p in path:
             if hasattr(p, 'key'):
                 parts.append(str(p.key))
+            elif hasattr(p, 'idx'):
+                parts.append(str(p.idx))
             elif hasattr(p, 'name'):
                 parts.append(str(p.name))
             else:
@@ -37,23 +57,12 @@ def multi_adam(learning_rate=0.001, lr_multipliers=None,
     def multiplier_of(path):
         s = path_str(path)
         for key, value in lr_multipliers.items():
-            if s.startswith(key) or ('/' + key) in ('/' + s):
-                return float(value)
+            if s.startswith(str(key)):
+                return value
         return 1.
 
-    base = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
-
-    def init_fn(params):
-        return base.init(params)
-
-    def update_fn(updates, state, params=None):
-        updates, state = base.update(updates, state, params)
-        scaled = jax.tree_util.tree_map_with_path(
-            lambda path, u: u * (-learning_rate * multiplier_of(path)),
-            updates)
-        return scaled, state
-
-    return optax.GradientTransformation(init_fn, update_fn)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, u: u * (-learning_rate * multiplier_of(path)), updates)
 
 
 # alias matching the reference class name
