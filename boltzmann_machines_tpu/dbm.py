@@ -108,12 +108,6 @@ class DBM(EnergyBasedModel):
         self.display_filters = display_filters
         assert display_particles <= self.n_particles
         self.display_particles = display_particles
-        if display_filters or display_particles:
-            import warnings
-            warnings.warn('display_filters/display_particles are accepted '
-                          'for API parity but TensorBoard image summaries '
-                          'are not yet reimplemented; scalar metric streams '
-                          'only (see PARITY.md)', stacklevel=2)
 
         self.v_shape = tuple(v_shape)
         if len(self.v_shape) == 2:
@@ -738,6 +732,30 @@ class DBM(EnergyBasedModel):
             self._train_writer = SummaryWriter(self._train_summary_dirpath)
             self._val_writer = SummaryWriter(self._val_summary_dirpath)
 
+    def _write_epoch_summaries(self):
+        """Per-epoch weight/bias histograms, cumulative-filter images per
+        layer (reference dbm.py:312-322), and negative-particle images
+        (dbm.py:531-547)."""
+        s = jax.device_get(self._state)
+        w = self._train_writer
+        w.add_histogram('vb', s['vb'], self.iter_)
+        for l in range(self.n_layers_):
+            w.add_histogram('W_{0}'.format(l), s['W'][l], self.iter_)
+            w.add_histogram('hb_{0}'.format(l), s['hb'][l], self.iter_)
+        if self.display_filters:
+            from .utils.plot_utils import filter_grid_image
+            W = s['W'][0]
+            for l in range(self.n_layers_):
+                if l > 0:
+                    W = W @ s['W'][l]
+                img = filter_grid_image(W, self.v_shape, self.display_filters)
+                w.add_image('W_filters_{0}'.format(l), img, self.iter_)
+        if self.display_particles:
+            from .utils.plot_utils import filter_grid_image
+            v = np.asarray(s['v'][:self.display_particles]).T  # (V, n)
+            img = filter_grid_image(v, self.v_shape, self.display_particles)
+            w.add_image('negative_particles', img, self.iter_)
+
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
         self._init_writers()
@@ -797,6 +815,7 @@ class DBM(EnergyBasedModel):
                     self.epoch_ % self.val_metrics_every_epoch == 0:
                 val_msre, val_n_mf = self._run_val_metrics(X_val)
 
+            self._write_epoch_summaries()
             if train_msre is not None:
                 self._train_writer.add_scalar('mean_squared_recon_error',
                                               train_msre, self.iter_)

@@ -147,13 +147,6 @@ class BaseRBM(EnergyBasedModel):
         self.display_filters = display_filters
         assert self.n_hidden >= display_hidden_activations
         self.display_hidden_activations = display_hidden_activations
-        if display_filters or display_hidden_activations:
-            import warnings
-            warnings.warn('display_filters/display_hidden_activations are '
-                          'accepted for API parity but TensorBoard image '
-                          'summaries are not yet reimplemented; scalar '
-                          'metric streams only (see PARITY.md)',
-                          stacklevel=2)
 
         self.v_shape = tuple(v_shape)
         if len(self.v_shape) == 2:
@@ -738,6 +731,18 @@ class BaseRBM(EnergyBasedModel):
         'pll': 'pseudo_loglikelihood',
     }
 
+    def _write_epoch_summaries(self):
+        """Per-epoch histograms of all learned tensors and (optionally)
+        filter-grid images (reference base_rbm.py:295-323, 300-306)."""
+        arrays = jax.device_get(self._state)
+        for name in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+            self._train_writer.add_histogram(name, arrays[name], self.iter_)
+        if self.display_filters:
+            from ..utils.plot_utils import filter_grid_image
+            img = filter_grid_image(arrays['W'], self.v_shape,
+                                    self.display_filters)
+            self._train_writer.add_image('W_filters', img, self.iter_)
+
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
         self._init_writers()
@@ -771,6 +776,7 @@ class BaseRBM(EnergyBasedModel):
                     self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
                 feg = self._run_feg(X, X_val)
 
+            self._write_epoch_summaries()
             for m, v in train_results.items():
                 self._train_writer.add_scalar(self._metrics_names_map[m], v,
                                               self.iter_)

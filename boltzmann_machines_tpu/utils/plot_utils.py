@@ -5,6 +5,30 @@ lazily so headless training never touches it)."""
 import numpy as np
 
 
+def filter_grid_image(W, v_shape, n_filters):
+    """Tile the first `n_filters` weight columns of W (V, H) into one
+    contrast-normalized uint8 grid image shaped by `v_shape` = (h, w, c).
+    Matplotlib-free (feeds the TensorBoard image summaries)."""
+    h, w, c = v_shape
+    n = min(n_filters, W.shape[1])
+    side = int(np.ceil(np.sqrt(n)))
+    F = np.zeros((side * side, h, w, c), dtype=np.float32)
+    for i in range(n):
+        f = np.asarray(W[:, i], dtype=np.float32)
+        if c == 3:
+            # channel-major flattening (dataset.im_unflatten layout)
+            f = f.reshape(c, h, w).transpose(1, 2, 0)
+        else:
+            f = f.reshape(h, w, c)
+        lo, hi = f.min(), f.max()
+        F[i] = (f - lo) / max(hi - lo, 1e-8)
+    grid = im_reshape(F, n_width=side, n_height=side, shape=(h, w, c))
+    img = (np.clip(grid, 0., 1.) * 255.).astype(np.uint8)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    return img
+
+
 def tick_params():
     """Tick params to plot images without labels or borders."""
     return dict(axis='both', which='both',

@@ -81,14 +81,57 @@ def _pb_bytes(field, data):
     return _key(field, 2) + _varint(len(data)) + data
 
 
+def _event(value_bytes, step, wall_time):
+    # Summary { value = 1 (repeated message) };
+    # Event { wall_time = 1 (double); step = 2 (int64); summary = 5 }
+    return (_pb_double(1, wall_time) + _pb_int64(2, int(step)) +
+            _pb_bytes(5, _pb_bytes(1, value_bytes)))
+
+
 def _encode_event(tag, value, step, wall_time):
     # Summary.Value { tag = 1 (string); simple_value = 2 (float) }
     sval = _pb_bytes(1, tag.encode()) + _pb_float(2, float(value))
-    # Summary { value = 1 (repeated message) }
-    summary = _pb_bytes(1, sval)
-    # Event { wall_time = 1 (double); step = 2 (int64); summary = 5 }
-    return (_pb_double(1, wall_time) + _pb_int64(2, int(step)) +
-            _pb_bytes(5, summary))
+    return _event(sval, step, wall_time)
+
+
+def _encode_image_event(tag, png_bytes, height, width, channels, step,
+                        wall_time):
+    # Summary.Image { height=1; width=2; colorspace=3; encoded=4 }
+    img = (_pb_int64(1, height) + _pb_int64(2, width) +
+           _pb_int64(3, 1 if channels == 1 else 3) +
+           _pb_bytes(4, png_bytes))
+    # Summary.Value { tag = 1; image = 4 }
+    sval = _pb_bytes(1, tag.encode()) + _pb_bytes(4, img)
+    return _event(sval, step, wall_time)
+
+
+def _encode_histogram_event(tag, values, step, wall_time):
+    import numpy as np
+    values = np.asarray(values, dtype=np.float64).ravel()
+    # TensorBoard's standard exponential bucket boundaries
+    limits = [-1e308]
+    neg = [-(1.1 ** i) * 1e-12 for i in range(0, 776)][::-1]
+    pos = [(1.1 ** i) * 1e-12 for i in range(0, 776)]
+    edges = np.asarray(neg + [0.0] + pos + [1e308])
+    counts, _ = np.histogram(values, bins=edges)
+    nz = counts.nonzero()[0]
+    if len(nz) == 0:
+        keep = [0]
+    else:
+        keep = range(max(nz[0] - 1, 0), min(nz[-1] + 1, len(counts) - 1) + 1)
+    # HistogramProto { min=1; max=2; num=3; sum=4; sum_squares=5;
+    #                  bucket_limit=7 (repeated); bucket=8 (repeated) }
+    histo = (_pb_double(1, float(values.min())) +
+             _pb_double(2, float(values.max())) +
+             _pb_double(3, float(values.size)) +
+             _pb_double(4, float(values.sum())) +
+             _pb_double(5, float((values ** 2).sum())))
+    for i in keep:
+        histo += _pb_double(7, float(edges[i + 1]))
+        histo += _pb_double(8, float(counts[i]))
+    # Summary.Value { tag = 1; histo = 5 }
+    sval = _pb_bytes(1, tag.encode()) + _pb_bytes(5, histo)
+    return _event(sval, step, wall_time)
 
 
 class SummaryWriter(object):
@@ -118,6 +161,22 @@ class SummaryWriter(object):
         self._write_record(_encode_event(tag, value, step, now))
         self._j.write(json.dumps({'tag': tag, 'value': float(value),
                                   'step': int(step), 'wall_time': now}) + '\n')
+
+    def add_image(self, tag, img, step):
+        """`img`: (H, W) or (H, W, 3) uint8 array (use
+        plot_utils.im_reshape + dataset.im_rescale to build grids)."""
+        from .png import encode_png
+        import numpy as np
+        img = np.asarray(img)
+        png = encode_png(img)
+        h, w = img.shape[:2]
+        c = 1 if img.ndim == 2 else img.shape[2]
+        self._write_record(_encode_image_event(tag, png, h, w, c, step,
+                                               time.time()))
+
+    def add_histogram(self, tag, values, step):
+        self._write_record(_encode_histogram_event(tag, values, step,
+                                                   time.time()))
 
     def flush(self):
         self._f.flush()

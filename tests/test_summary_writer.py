@@ -40,3 +40,59 @@ def test_scalars_jsonl_and_event_framing(tmp_path):
     assert n_records == 3  # version event + 2 scalars
     # first record carries the TensorBoard version marker
     assert b'brain.Event:2' in data[:64]
+
+
+def test_image_and_histogram_events(tmp_path):
+    import numpy as np
+    logdir = str(tmp_path / 'logs2')
+    w = SummaryWriter(logdir)
+    img = (np.arange(64 * 64, dtype=np.uint64) % 256).astype('uint8') \
+        .reshape(64, 64)
+    w.add_image('filters', img, 1)
+    w.add_histogram('W', np.random.RandomState(0).randn(1000), 1)
+    w.close()
+    event_files = [p for p in os.listdir(logdir) if p.startswith('events')]
+    with open(os.path.join(logdir, event_files[0]), 'rb') as f:
+        data = f.read()
+    # framing still valid for mixed record types
+    pos = n = 0
+    while pos < len(data):
+        length, = struct.unpack('<Q', data[pos:pos + 8])
+        assert struct.unpack('<I', data[pos + 8:pos + 12])[0] == \
+            _masked_crc(data[pos:pos + 8])
+        payload = data[pos + 12:pos + 12 + length]
+        assert struct.unpack('<I',
+                             data[pos + 12 + length:pos + 16 + length])[0] \
+            == _masked_crc(payload)
+        pos += 16 + length
+        n += 1
+    assert n == 3
+    assert b'\x89PNG' in data  # the embedded image
+
+
+def test_png_roundtrip():
+    import numpy as np
+    from boltzmann_machines_tpu.utils.png import encode_png
+    img = np.random.RandomState(0).randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    png = encode_png(img)
+    assert png.startswith(b'\x89PNG')
+    # decode with PIL if available, else just check structure
+    try:
+        from PIL import Image
+        import io
+        back = np.asarray(Image.open(io.BytesIO(png)))
+        np.testing.assert_array_equal(back, img)
+    except ImportError:
+        assert b'IHDR' in png and b'IDAT' in png and b'IEND' in png
+
+
+def test_filter_grid_image():
+    import numpy as np
+    from boltzmann_machines_tpu.utils.plot_utils import filter_grid_image
+    W = np.random.RandomState(0).randn(28 * 28, 10).astype('float32')
+    img = filter_grid_image(W, (28, 28, 1), 9)
+    assert img.shape == (28 * 3, 28 * 3)
+    assert img.dtype == np.uint8
+    W3 = np.random.RandomState(0).randn(8 * 8 * 3, 5).astype('float32')
+    img3 = filter_grid_image(W3, (8, 8, 3), 4)
+    assert img3.shape == (16, 16, 3)
