@@ -903,9 +903,20 @@ class DBM(EnergyBasedModel):
         `n_gibbs_steps` sampled sweeps (dbm.py:887-897).  Mutates (and
         persists) the chains."""
         self._ensure_state()
-        prog = self._program('sample_v', self._sample_v_program)
         key = self.make_prng_key()
-        self._state, v = prog(self._state, int(n_gibbs_steps), key)
+        if self._pallas_epoch_eligible():
+            from .ops.pallas_dbm import make_dbm_sample_kernel
+            prog = self._program(
+                'pallas_sample_v',
+                lambda: make_dbm_sample_kernel(
+                    [self.n_visible_] + list(self.n_hiddens_),
+                    self.n_particles, bool(self.sample_v_states),
+                    list(self.sample_h_states)))
+            seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+            self._state, v = prog(self._state, int(n_gibbs_steps), seed)
+        else:
+            prog = self._program('sample_v', self._sample_v_program)
+            self._state, v = prog(self._state, int(n_gibbs_steps), key)
         v = np.asarray(v)
         if save_model:
             self.n_samples_generated_ += int(n_gibbs_steps)

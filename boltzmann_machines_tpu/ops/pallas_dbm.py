@@ -400,6 +400,111 @@ def make_dbm_epoch_kernel(layer_sizes, batch_size, n_particles, k,
     return epoch
 
 
+def _dbm_sample_kernel(scalars_ref, vb_ref, *refs,
+                       layer_sizes, sample_v, sample_h):
+    """`n_steps` sampled Gibbs sweeps on the persistent chains followed by
+    one mean sweep (reference dbm.py:641-648 sample_v semantics)."""
+    f32 = jnp.float32
+    L = len(layer_sizes) - 1
+    hb_r = refs[:L]
+    W_r = refs[L:2 * L]
+    v_in = refs[2 * L]
+    H_in = refs[2 * L + 1:2 * L + 1 + L]
+    v_out = refs[2 * L + 1 + L]
+    H_out = refs[2 * L + 2 + L:2 * L + 2 + 2 * L]
+    vmeans_out = refs[2 * L + 2 + 2 * L]
+
+    pltpu.prng_seed(scalars_ref[0])
+    n_steps = scalars_ref[1].astype(jnp.int32)
+    vb = vb_ref[:]
+    hb = [b[:] for b in hb_r]
+    W = [w[:] for w in W_r]
+
+    def up(x, l):
+        return jnp.dot(x, W[l], preferred_element_type=f32)
+
+    def down(x, l):
+        return jax.lax.dot_general(x, W[l], (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def bern(p):
+        return (_uniform_bits(p.shape) < p).astype(f32)
+
+    def sweep(carry, sample):
+        v, H = carry
+        Hn = list(H)
+        T = up(v, 0)
+        if L >= 2:
+            T = T + down(H[1], 1)
+        Hn[0] = jax.nn.sigmoid(T + hb[0])
+        if sample and sample_h[0]:
+            Hn[0] = bern(Hn[0])
+        for l in range(1, L - 1):
+            T = up(Hn[l - 1], l) + down(H[l + 1], l + 1)
+            Hn[l] = jax.nn.sigmoid(T + hb[l])
+            if sample and sample_h[l]:
+                Hn[l] = bern(Hn[l])
+        if L >= 2:
+            Hn[L - 1] = jax.nn.sigmoid(up(Hn[L - 2], L - 1) + hb[L - 1])
+            if sample and sample_h[L - 1]:
+                Hn[L - 1] = bern(Hn[L - 1])
+        vn = jax.nn.sigmoid(down(Hn[0], 0) + vb)
+        if sample and sample_v:
+            vn = bern(vn)
+        return (vn, tuple(Hn))
+
+    v, H = jax.lax.fori_loop(
+        0, n_steps, lambda _, c: sweep(c, True),
+        (v_in[:], tuple(h[:] for h in H_in)))
+    v_means, _ = sweep((v, H), False)
+
+    v_out[:] = v_means  # reference assigns the means into the v particles
+    for l in range(L):
+        H_out[l][:] = H[l]
+    vmeans_out[:] = v_means
+
+
+def make_dbm_sample_kernel(layer_sizes, n_particles, sample_v, sample_h):
+    """Fused all-Bernoulli DBM chain sampler:
+    ``sample(state, n_steps, seed) -> (new_state, v_means)`` with a dynamic
+    (SMEM) step count -- one kernel launch for the whole run."""
+    V = layer_sizes[0]
+    L = len(layer_sizes) - 1
+    hs = layer_sizes[1:]
+    kern = functools.partial(_dbm_sample_kernel,
+                             layer_sizes=tuple(layer_sizes),
+                             sample_v=sample_v, sample_h=tuple(sample_h))
+
+    @jax.jit
+    def sample(state, n_steps, seed):
+        f32 = jnp.float32
+        scalars = jnp.asarray([seed, n_steps], jnp.uint32)
+        out_shapes = ([jax.ShapeDtypeStruct((n_particles, V), f32)] +
+                      [jax.ShapeDtypeStruct((n_particles, h), f32)
+                       for h in hs] +
+                      [jax.ShapeDtypeStruct((n_particles, V), f32)])
+        outs = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L + 2 + L),
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * (L + 2)),
+            out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(scalars,
+          state['vb'].reshape(1, V),
+          *[state['hb'][l].reshape(1, hs[l]) for l in range(L)],
+          *state['W'],
+          state['v'], *state['H'])
+        new_state = dict(state)
+        new_state['v'] = outs[0]
+        new_state['H'] = tuple(outs[1:1 + L])
+        return new_state, outs[1 + L]
+
+    return sample
+
+
 def make_ais_kernel(n_visible, n_h1, n_h2, n_betas, k, n_runs,
                     sample_v=True, sample_h0=True, sample_h1=True):
     """Build `ais(state, seed, x0) -> (n_runs,) raw log importance weights
