@@ -211,6 +211,277 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
         pll_o[pl.ds(i, 1), :] = jnp.zeros((1, 128), dtype=f32)
 
 
+def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
+                           W_in, dW_in,
+                           vb_in, hb_in, dvb_in, dhb_in, q_in,
+                           W_hbm, dW_hbm,
+                           vb_o, hb_o, dvb_o, dhb_o, q_o, msre_o,
+                           Wt, dWt, h0m, hst, hm, vpre, vst,
+                           dma_sems,
+                           *, k, batch_size, n_visible, n_hidden,
+                           n_hidden_real, tile,
+                           sample_v_states, sample_h_states,
+                           propup_mult, propdown_mult,
+                           l2, sparsity_target, sparsity_cost,
+                           sparsity_damping, metrics_every, visible):
+    """CD-k epoch for RBMs whose W does not fit VMEM: W and dW live in HBM
+    and stream through a (V, tile) VMEM buffer one hidden-column tile at a
+    time; per-batch activations (B, H) stay in VMEM.  Semantics identical
+    to `_cd_epoch_kernel`."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    pltpu.prng_seed(scalars_ref[0], i)
+    lr = sched_ref[0]
+    mom = sched_ref[1]
+    it = scalars_ref[1] + i.astype(jnp.uint32) + 1
+    V, H, B = n_visible, n_hidden, batch_size
+    n_tiles = (H + tile - 1) // tile
+    up = f32(propup_mult)
+    down = f32(propdown_mult)
+
+    @pl.when(i == 0)
+    def _():
+        pairs = ((W_in, W_hbm), (dW_in, dW_hbm), (vb_in, vb_o),
+                 (hb_in, hb_o), (dvb_in, dvb_o), (dhb_in, dhb_o),
+                 (q_in, q_o))
+        copies = [pltpu.make_async_copy(src, dst, dma_sems.at[j])
+                  for j, (src, dst) in enumerate(pairs)]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+    X = x_ref[0]
+    vb = vb_o[:]
+    hb = hb_o[:]
+
+    def tiles():
+        for t in range(n_tiles):
+            c0 = t * tile
+            w = min(tile, H - c0)
+            yield t, c0, w
+
+    def load_W(c0, w):
+        cp = pltpu.make_async_copy(W_hbm.at[:, c0:c0 + w],
+                                   Wt.at[:, :w], dma_sems.at[0])
+        cp.start()
+        cp.wait()
+
+    def bern(p):
+        return (_uniform_bits(p.shape) < p).astype(f32)
+
+    def h_pass(src, dst_means):
+        """dst_means[:, c0:c1] = sigmoid(up * (src @ W_t + hb_t))."""
+        for t, c0, w in tiles():
+            load_W(c0, w)
+            act = jnp.dot(src, Wt[:, :w], preferred_element_type=f32)
+            dst_means[:, c0:c0 + w] = jax.nn.sigmoid(
+                up * (act + hb[:, c0:c0 + w]))
+
+    def v_pass(h_src):
+        """vpre[:] = h_src @ W^T (accumulated over tiles)."""
+        vpre[:] = jnp.zeros((B, V), f32)
+        for t, c0, w in tiles():
+            load_W(c0, w)
+            vpre[:] += jax.lax.dot_general(
+                h_src[:, c0:c0 + w], Wt[:, :w], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+
+    # positive phase
+    h_pass(X, h0m)
+    if sample_h_states:
+        hst[:] = bern(h0m[:])
+    else:
+        hst[:] = h0m[:]
+
+    # CD-k chain
+    v_means_last = X
+    for _step in range(k):
+        v_pass(hst[:])
+        if visible == 'gaussian':
+            v_means = down * vpre[:] * sigma_ref[:] + down * vb
+            if sample_v_states:
+                vst[:] = v_means + _normal_from_bits((B, V)) * sigma_ref[:]
+            else:
+                vst[:] = v_means
+        else:
+            v_means = jax.nn.sigmoid(down * (vpre[:] + vb))
+            vst[:] = bern(v_means) if sample_v_states else v_means
+        v_means_last = v_means
+        h_pass(vst[:], hm)
+        if sample_h_states:
+            hst[:] = bern(hm[:])
+        else:
+            hst[:] = hm[:]
+
+    # sparsity EMA on summed hidden means
+    N = f32(batch_size)
+    damp = f32(sparsity_damping)
+    q_new = damp * q_o[:] + (1. - damp) * jnp.sum(hm[:], axis=0,
+                                                  keepdims=True)
+    penalty = f32(sparsity_cost) * (q_new - f32(sparsity_target))
+    q_o[:] = q_new
+
+    # bias updates
+    dvb_grad = jnp.mean(X - vst[:], axis=0, keepdims=True)
+    dhb_grad = jnp.mean(h0m[:] - hm[:], axis=0, keepdims=True) - penalty
+    dvb_acc = lr * (mom * dvb_o[:] + dvb_grad)
+    dhb_acc = lr * (mom * dhb_o[:] + dhb_grad)
+    dvb_o[:] = dvb_acc
+    dhb_o[:] = dhb_acc
+    vb_o[:] = vb + dvb_acc
+    hb_o[:] = hb + dhb_acc
+
+    # weight updates: stream W and dW tiles through VMEM and write back
+    for t, c0, w in tiles():
+        cw = pltpu.make_async_copy(W_hbm.at[:, c0:c0 + w], Wt.at[:, :w],
+                                   dma_sems.at[0])
+        cd = pltpu.make_async_copy(dW_hbm.at[:, c0:c0 + w], dWt.at[:, :w],
+                                   dma_sems.at[1])
+        cw.start()
+        cd.start()
+        pos = jax.lax.dot_general(X, h0m[:, c0:c0 + w],
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        neg = jax.lax.dot_general(vst[:], hm[:, c0:c0 + w],
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        cw.wait()
+        cd.wait()
+        grad = (pos - neg) / N - f32(l2) * Wt[:, :w] \
+            - penalty[:, c0:c0 + w]
+        acc = lr * (mom * dWt[:, :w] + grad)
+        if c0 + w > n_hidden_real:
+            # H was padded to a 128 multiple: keep padded weight columns
+            # exactly zero so they never feed the visible layer
+            col = jax.lax.broadcasted_iota(jnp.int32, (V, w), 1) + c0
+            acc = jnp.where(col < n_hidden_real, acc, f32(0.))
+        dWt[:, :w] = acc
+        Wt[:, :w] = Wt[:, :w] + acc
+        ow = pltpu.make_async_copy(Wt.at[:, :w], W_hbm.at[:, c0:c0 + w],
+                                   dma_sems.at[0])
+        od = pltpu.make_async_copy(dWt.at[:, :w], dW_hbm.at[:, c0:c0 + w],
+                                   dma_sems.at[1])
+        ow.start()
+        od.start()
+        ow.wait()
+        od.wait()
+
+    want = (it % jnp.uint32(metrics_every)) == 0
+    msre_val = jnp.where(want, jnp.mean(jnp.square(X - v_means_last)),
+                         f32(0.))
+    msre_o[pl.ds(i, 1), :] = jnp.full((1, 128), msre_val, dtype=f32)
+
+
+def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
+                               sample_v_states, sample_h_states,
+                               propup_mult, propdown_mult,
+                               l2, sparsity_target, sparsity_cost,
+                               sparsity_damping, metrics_every,
+                               visible='bernoulli', sigma=None,
+                               tile=1024):
+    """Build the hidden-tiled CD-k epoch program for big RBMs (W in HBM).
+
+    Same interface as `make_cd_epoch_kernel` but PLL is not computed
+    (returns zeros for the pll stream)."""
+    V, B = n_visible, batch_size
+    H_real = n_hidden
+    # HBM memref slices must be lane-aligned: pad the hidden axis to a
+    # multiple of 128 (padded weight columns are masked to zero in the
+    # update pass so they never influence the visible layer)
+    H = ((n_hidden + 127) // 128) * 128
+    tile = min(tile, H)
+    sigma_arr = (np.ones((1, V), np.float32) if sigma is None
+                 else np.broadcast_to(
+                     np.asarray(sigma, np.float32).reshape(1, -1),
+                     (1, V)).copy())
+
+    kern = functools.partial(
+        _tiled_cd_epoch_kernel, k=k, batch_size=B, n_visible=V, n_hidden=H,
+        n_hidden_real=H_real, tile=tile, sample_v_states=sample_v_states,
+        sample_h_states=sample_h_states, propup_mult=propup_mult,
+        propdown_mult=propdown_mult, l2=l2, sparsity_target=sparsity_target,
+        sparsity_cost=sparsity_cost, sparsity_damping=sparsity_damping,
+        metrics_every=metrics_every, visible=visible)
+
+    def const2d(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def epoch(state, X_batches, lr, momentum, seed, iter0):
+        NB = X_batches.shape[0]
+        f32 = jnp.float32
+        scalars = jnp.stack([jnp.asarray(seed, jnp.uint32),
+                             jnp.asarray(iter0, jnp.uint32)])
+        sched = jnp.stack([jnp.asarray(lr, f32), jnp.asarray(momentum, f32)])
+
+        def pad_cols(a):
+            return a if H == H_real else \
+                jnp.pad(a, ((0, 0), (0, H - H_real)))
+
+        in_state = (pad_cols(state['W']), pad_cols(state['dW']),
+                    state['vb'].reshape(1, V),
+                    pad_cols(state['hb'].reshape(1, H_real)),
+                    state['dvb'].reshape(1, V),
+                    pad_cols(state['dhb'].reshape(1, H_real)),
+                    pad_cols(state['q_means'].reshape(1, H_real)))
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((V, H), f32),     # W (HBM)
+            jax.ShapeDtypeStruct((V, H), f32),     # dW (HBM)
+            jax.ShapeDtypeStruct((1, V), f32),     # vb
+            jax.ShapeDtypeStruct((1, H), f32),     # hb
+            jax.ShapeDtypeStruct((1, V), f32),     # dvb
+            jax.ShapeDtypeStruct((1, H), f32),     # dhb
+            jax.ShapeDtypeStruct((1, H), f32),     # q_means
+            jax.ShapeDtypeStruct((NB, 128), f32),  # msre
+        )
+
+        outs = pl.pallas_call(
+            kern,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, B, V), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const2d((1, V)),  # sigma
+            ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            out_specs=tuple(
+                [pl.BlockSpec(memory_space=pltpu.ANY)] * 2 +
+                [const2d((1, V)), const2d((1, H)), const2d((1, V)),
+                 const2d((1, H)), const2d((1, H)), const2d((NB, 128))]),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((V, tile), jnp.float32),      # Wt
+                pltpu.VMEM((V, tile), jnp.float32),      # dWt
+                pltpu.VMEM((B, H), jnp.float32),         # h0 means
+                pltpu.VMEM((B, H), jnp.float32),         # h states
+                pltpu.VMEM((B, H), jnp.float32),         # h means (chain end)
+                pltpu.VMEM((B, V), jnp.float32),         # v preactivation
+                pltpu.VMEM((B, V), jnp.float32),         # v states
+                pltpu.SemaphoreType.DMA((7,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(scalars, sched, X_batches, jnp.asarray(sigma_arr), *in_state)
+
+        (W, dW, vb, hb, dvb, dhb, q, msre) = outs
+        new_state = {
+            'W': W[:, :H_real], 'vb': vb.reshape(V),
+            'hb': hb.reshape(H)[:H_real],
+            'dW': dW[:, :H_real], 'dvb': dvb.reshape(V),
+            'dhb': dhb.reshape(H)[:H_real],
+            'q_means': q.reshape(H)[:H_real],
+        }
+        return new_state, msre[:, 0], jnp.zeros_like(msre[:, 0])
+
+    return epoch
+
+
 def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                          sample_v_states, sample_h_states,
                          propup_mult, propdown_mult,

@@ -528,27 +528,46 @@ class BaseRBM(EnergyBasedModel):
         return ok
 
     def _pallas_epoch_program(self, k, n_batches):
-        from ..ops.pallas_ops import make_cd_epoch_kernel
-        # VMEM budget: W + dW resident for the whole epoch, plus the batch
-        # tile, ~5 batch-sized intermediates, and per-batch metric rows.
-        # Models past ~100MB (e.g. the 3072x5000 CIFAR G-RBM) fall back to
-        # the XLA path until a hidden-tiled kernel variant lands.
+        from ..ops.pallas_ops import (make_cd_epoch_kernel,
+                                      make_tiled_cd_epoch_kernel)
+        kind, sigma = self._pallas_visible_kind()
+        common = dict(
+            sample_v_states=self.sample_v_states,
+            sample_h_states=self.sample_h_states,
+            propup_mult=self._propup_multiplier,
+            propdown_mult=self._propdown_multiplier,
+            l2=float(self.l2), sparsity_target=float(self.sparsity_target),
+            sparsity_cost=float(self.sparsity_cost),
+            sparsity_damping=float(self.sparsity_damping),
+            metrics_every=int(self.metrics_config['train_metrics_every_iter']),
+            visible=kind, sigma=sigma)
+
+        # VMEM budget of the all-resident kernel: W + dW for the whole
+        # epoch, plus the batch tile, ~5 batch-sized intermediates, and
+        # per-batch metric rows.
         vmem = (2 * self.n_visible * self.n_hidden * 4
                 + self.batch_size * (2 * self.n_visible + 5 * self.n_hidden) * 4
                 + n_batches * 1024
                 + 12 * (self.n_visible + self.n_hidden) * 4)
-        if vmem > 96 * 1024 * 1024:
+        if vmem <= 96 * 1024 * 1024:
+            return make_cd_epoch_kernel(
+                self.n_visible, self.n_hidden, self.batch_size, k,
+                compute_pll=bool(self.metrics_config['pll']), **common)
+
+        # big-model fallback: hidden-tiled kernel with W/dW streamed from
+        # HBM (no PLL stream -- keep XLA when PLL logging is requested)
+        if self.metrics_config['pll']:
             return None
-        kind, sigma = self._pallas_visible_kind()
-        return make_cd_epoch_kernel(
+        tile = 1024
+        scratch = (2 * self.n_visible * tile * 4
+                   + 3 * self.batch_size * self.n_hidden * 4
+                   + 3 * self.batch_size * self.n_visible * 4
+                   + n_batches * 512)
+        if scratch > 100 * 1024 * 1024:
+            return None
+        return make_tiled_cd_epoch_kernel(
             self.n_visible, self.n_hidden, self.batch_size, k,
-            self.sample_v_states, self.sample_h_states,
-            self._propup_multiplier, self._propdown_multiplier,
-            float(self.l2), float(self.sparsity_target),
-            float(self.sparsity_cost), float(self.sparsity_damping),
-            int(self.metrics_config['train_metrics_every_iter']),
-            compute_pll=bool(self.metrics_config['pll']),
-            visible=kind, sigma=sigma)
+            tile=tile, **common)
 
     def _train_epoch_pallas(self, step_prog, full, rem, base_key):
         lr = float(schedule_value(self.learning_rate, self.epoch_))

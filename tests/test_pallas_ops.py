@@ -106,13 +106,49 @@ def test_gaussian_cd_epoch_kernel_matches_xla(tmp_path):
 
 
 @requires_tpu
-def test_oversize_model_falls_back(tmp_path):
-    """Models whose W+dW exceed the VMEM budget decline the fused kernel."""
+def test_oversize_model_uses_tiled_kernel(tmp_path):
+    """Models whose W+dW exceed the VMEM budget get the hidden-tiled
+    kernel (unless PLL logging forces the XLA path)."""
     from boltzmann_machines_tpu import GaussianRBM
     g = GaussianRBM(n_visible=3072, n_hidden=5000, sigma=1., batch_size=100,
                     verbose=False, model_path=str(tmp_path) + '/')
-    assert g._pallas_eligible()  # type-eligible...
-    assert g._pallas_epoch_program(1, 8) is None  # ...but size-declined
+    assert g._pallas_eligible()
+    assert g._pallas_epoch_program(1, 8) is not None  # tiled variant
+    g2 = GaussianRBM(n_visible=3072, n_hidden=5000, sigma=1., batch_size=100,
+                     verbose=False, model_path=str(tmp_path) + 'b/')
+    g2.metrics_config['pll'] = True
+    assert not g2._pallas_eligible()  # gaussian + pll -> XLA
+
+
+@requires_tpu
+def test_tiled_cd_kernel_matches_xla_with_padding(tmp_path):
+    """Hidden-tiled kernel (H=2500: padded to 2560, partial tiles) matches
+    the XLA path with sampling disabled."""
+    import jax.tree_util as jtu
+    from boltzmann_machines_tpu import GaussianRBM
+    from boltzmann_machines_tpu.ops.pallas_ops import make_tiled_cd_epoch_kernel
+    g = GaussianRBM(n_visible=768, n_hidden=2500, sigma=1., batch_size=64,
+                    random_seed=1, sample_v_states=False,
+                    sample_h_states=False, l2=1e-3, sparsity_cost=1e-3,
+                    verbose=False, save_after_each_epoch=False,
+                    metrics_config=dict(msre=True,
+                                        train_metrics_every_iter=2),
+                    model_path=str(tmp_path) + '/')
+    g._ensure_state()
+    X = np.random.RandomState(0).randn(64 * 4, 768).astype(np.float32)
+    full, rem, nb = g._stage_batches(X)
+    s0 = jtu.tree_map(jnp.copy, g._state)
+    s1 = jtu.tree_map(jnp.copy, g._state)
+    ep_xla = g._program('train_epoch', g._train_epoch_program)
+    sx, _, _ = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
+    ep_t = make_tiled_cd_epoch_kernel(
+        768, 2500, 64, 1, False, False, 1., 1., 1e-3, 0.1, 1e-3, 0.9, 2,
+        visible='gaussian', sigma=np.ones((1, 768), np.float32), tile=1024)
+    sp, msre, _ = ep_t(s1, full, 1e-3, 0.9, 7, 0)
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
+                                   atol=1e-4)
+    assert sp['W'].shape == (768, 2500)  # unpadded on return
 
 
 @requires_tpu
