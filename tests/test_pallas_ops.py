@@ -152,6 +152,35 @@ def test_tiled_cd_kernel_matches_xla_with_padding(tmp_path):
 
 
 @requires_tpu
+def test_dbm_sample_kernel_statistics(tmp_path):
+    """Fused sample_v matches the XLA path's chain statistics."""
+    from boltzmann_machines_tpu import BernoulliRBM, DBM
+    from boltzmann_machines_tpu.utils import RNG
+    X = (RNG(7).rand(256, 32) < 0.4).astype('float32')
+    r1 = BernoulliRBM(n_visible=32, n_hidden=24, dbm_first=True, max_epoch=1,
+                      batch_size=64, random_seed=1, verbose=False,
+                      model_path=str(tmp_path) + 'r1/')
+    r1.fit(X)
+    r2 = BernoulliRBM(n_visible=24, n_hidden=16, dbm_last=True, max_epoch=1,
+                      batch_size=64, random_seed=2, verbose=False,
+                      model_path=str(tmp_path) + 'r2/')
+    r2.fit(r1.transform(X))
+    dbm = DBM(rbms=[r1, r2], n_particles=128, n_gibbs_steps=1,
+              max_mf_updates=5, learning_rate=0.01, momentum=0.5,
+              max_epoch=1, batch_size=64, random_seed=3, verbose=False,
+              model_path=str(tmp_path) + 'dbm/')
+    dbm.fit(X)
+    v_pal = dbm.sample_v(n_gibbs_steps=200)
+    assert v_pal.shape == (128, 32)
+    assert (v_pal >= 0.).all() and (v_pal <= 1.).all()
+    dbm.kernel = 'xla'
+    dbm._programs.pop('sample_v', None)
+    v_xla = dbm.sample_v(n_gibbs_steps=200)
+    # same equilibrium statistics (different PRNG streams)
+    assert abs(float(v_pal.mean()) - float(v_xla.mean())) < 0.05
+
+
+@requires_tpu
 def test_fit_auto_uses_pallas_and_learns(tmp_path):
     from boltzmann_machines_tpu import BernoulliRBM
     rng = np.random.RandomState(7)
