@@ -174,6 +174,25 @@ def test_multinomial_transform_normalized(X, tmp_model_dir):
     np.testing.assert_allclose(H.sum(axis=1), np.ones(len(X)), atol=1e-4)
 
 
+def test_multinomial_sampler_distribution():
+    """Inverse-CDF bucket counting is an exact Multinomial(n, p) sampler:
+    row sums, means, and variances match."""
+    import jax
+    import jax.numpy as jnp
+    from boltzmann_machines_tpu.layers import MultinomialLayer
+    L = MultinomialLayer(n_units=8, n_samples=100)
+    means = L.activation(
+        jnp.asarray(RNG(0).randn(4, 8), jnp.float32), jnp.zeros(8))
+    S = np.asarray(jax.vmap(lambda k: L.sample(k, means))(
+        jax.random.split(jax.random.PRNGKey(0), 2000)))
+    assert (S.sum(-1) == 100).all()
+    exp = np.asarray(means)
+    assert np.abs(S.mean(0) - exp).max() < 0.5
+    p = exp / 100.
+    var_ratio = S.var(0) / (100 * p * (1 - p))
+    assert np.abs(var_ratio - 1).max() < 0.25
+
+
 def test_gaussian_preprocess_divides_by_sigma():
     g = GaussianRBM(n_visible=4, n_hidden=2, sigma=2., verbose=False)
     X = np.ones((3, 4))
