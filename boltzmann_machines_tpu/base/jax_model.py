@@ -93,7 +93,9 @@ class JAXModel(BaseModel, DtypeMixin):
     # ------------------------------------------------------------------ #
     # persistence                                                         #
     # ------------------------------------------------------------------ #
-    def _save_model(self, global_step=None):
+    def _save_model(self, global_step=None, arrays=None):
+        """`arrays` lets callers reuse a host copy of the state fetched this
+        epoch (device transfers dominate per-epoch cost on remote links)."""
         for dirpath in (self._train_summary_dirpath, self._val_summary_dirpath):
             if not os.path.exists(dirpath):
                 os.makedirs(dirpath)
@@ -113,7 +115,8 @@ class JAXModel(BaseModel, DtypeMixin):
                 json.dump(self._rng.get_state(), f)
             os.replace(tmp, self._random_state_filepath)
 
-        arrays = self._get_state_arrays()
+        if arrays is None:
+            arrays = self._get_state_arrays()
         # atomic-ish write: npz to temp then rename
         tmp = self._model_filepath + '.npz.tmp'
         with open(tmp, 'wb') as f:

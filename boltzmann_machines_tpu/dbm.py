@@ -233,9 +233,10 @@ class DBM(EnergyBasedModel):
         if self._state is None:
             self._init_state()
 
-    def _get_state_arrays(self):
+    def _get_state_arrays(self, host_state=None):
         self._ensure_state()
-        s = jax.device_get(self._state)
+        s = host_state if host_state is not None \
+            else jax.device_get(self._state)
         out = {'weights/vb': s['vb'],
                'grads_accumulators/dvb': s['dvb'],
                'negative_particles/v': s['v']}
@@ -732,11 +733,10 @@ class DBM(EnergyBasedModel):
             self._train_writer = SummaryWriter(self._train_summary_dirpath)
             self._val_writer = SummaryWriter(self._val_summary_dirpath)
 
-    def _write_epoch_summaries(self):
+    def _write_epoch_summaries(self, s):
         """Per-epoch weight/bias histograms, cumulative-filter images per
         layer (reference dbm.py:312-322), and negative-particle images
         (dbm.py:531-547)."""
-        s = jax.device_get(self._state)
         w = self._train_writer
         w.add_histogram('vb', s['vb'], self.iter_)
         for l in range(self.n_layers_):
@@ -815,7 +815,13 @@ class DBM(EnergyBasedModel):
                     self.epoch_ % self.val_metrics_every_epoch == 0:
                 val_msre, val_n_mf = self._run_val_metrics(X_val)
 
-            self._write_epoch_summaries()
+            # one host fetch per epoch, shared by summaries and checkpoint;
+            # histograms/images only when a train step was logged this epoch
+            host_state = None
+            if train_msre is not None or self.save_after_each_epoch:
+                host_state = jax.device_get(self._state)
+            if train_msre is not None:
+                self._write_epoch_summaries(host_state)
             if train_msre is not None:
                 self._train_writer.add_scalar('mean_squared_recon_error',
                                               train_msre, self.iter_)
@@ -845,7 +851,8 @@ class DBM(EnergyBasedModel):
                 write_during_training(s)
 
             if self.save_after_each_epoch:
-                self._save_model(global_step=self.epoch_)
+                self._save_model(global_step=self.epoch_,
+                                 arrays=self._get_state_arrays(host_state))
 
     def _run_val_metrics(self, X_val):
         prog = self._program('val', self._val_metrics_program)

@@ -206,9 +206,10 @@ class BaseRBM(EnergyBasedModel):
         if self._state is None:
             self._init_state()
 
-    def _get_state_arrays(self):
+    def _get_state_arrays(self, host_state=None):
         self._ensure_state()
-        s = jax.device_get(self._state)
+        s = host_state if host_state is not None \
+            else jax.device_get(self._state)
         return {
             'weights/W': s['W'], 'weights/vb': s['vb'], 'weights/hb': s['hb'],
             'grads_accumulators/dW': s['dW'],
@@ -750,10 +751,9 @@ class BaseRBM(EnergyBasedModel):
         'pll': 'pseudo_loglikelihood',
     }
 
-    def _write_epoch_summaries(self):
+    def _write_epoch_summaries(self, arrays):
         """Per-epoch histograms of all learned tensors and (optionally)
         filter-grid images (reference base_rbm.py:295-323, 300-306)."""
-        arrays = jax.device_get(self._state)
         for name in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
             self._train_writer.add_histogram(name, arrays[name], self.iter_)
         if self.display_filters:
@@ -795,7 +795,14 @@ class BaseRBM(EnergyBasedModel):
                     self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
                 feg = self._run_feg(X, X_val)
 
-            self._write_epoch_summaries()
+            # one host fetch per epoch, shared by summaries and checkpoint;
+            # histograms/images follow the reference's cadence (only when a
+            # merged-summary train step was logged this epoch)
+            host_state = None
+            if train_results or self.save_after_each_epoch:
+                host_state = jax.device_get(self._state)
+            if train_results:
+                self._write_epoch_summaries(host_state)
             for m, v in train_results.items():
                 self._train_writer.add_scalar(self._metrics_names_map[m], v,
                                               self.iter_)
@@ -820,7 +827,8 @@ class BaseRBM(EnergyBasedModel):
                 write_during_training(s)
 
             if self.save_after_each_epoch:
-                self._save_model(global_step=self.epoch_)
+                self._save_model(global_step=self.epoch_,
+                                 arrays=self._get_state_arrays(host_state))
 
     # ================================================================== #
     # public API                                                          #
