@@ -87,6 +87,39 @@ def test_rbm_model_parallel(tmp_model_dir):
                                atol=1e-5)
 
 
+def test_ais_runs_sharded_on_mesh(tmp_model_dir):
+    """AIS chains shard along the data axis (XLA path) and still match the
+    brute-force partition function."""
+    import itertools
+    from boltzmann_machines_tpu.utils import log_sum_exp
+    X = (RNG(1).rand(64, 6) < 0.4).astype('float32')
+    r1 = BernoulliRBM(n_visible=6, n_hidden=5, dbm_first=True, max_epoch=1,
+                      batch_size=16, random_seed=1, verbose=False,
+                      model_path=tmp_model_dir + 'r1/')
+    r1.fit(X)
+    r2 = BernoulliRBM(n_visible=5, n_hidden=4, dbm_last=True, max_epoch=1,
+                      batch_size=16, random_seed=2, verbose=False,
+                      model_path=tmp_model_dir + 'r2/')
+    r2.fit(r1.transform(X))
+    dbm = DBM(rbms=[r1, r2], n_particles=16, n_gibbs_steps=1,
+              max_mf_updates=5, learning_rate=0.01, momentum=0.5,
+              max_epoch=1, batch_size=16, random_seed=3, verbose=False,
+              model_path=tmp_model_dir + 'dbm/')
+    dbm.set_mesh(make_mesh())
+    dbm.fit(X)
+
+    s = dbm._get_state_arrays()
+    H = np.array(list(itertools.product([0., 1.], repeat=5)))
+    logp = H @ s['weights/hb_0']
+    logp += np.log1p(np.exp(H @ s['weights/W_0'].T + s['weights/vb'])).sum(1)
+    logp += np.log1p(np.exp(H @ s['weights/W_1'] + s['weights/hb_1'])).sum(1)
+    exact = log_sum_exp(logp)
+
+    log_mean, _, values = dbm.log_Z(n_betas=300, n_runs=64, n_gibbs_steps=1)
+    assert values.shape == (64,)
+    assert abs(log_mean - exact) < 0.2
+
+
 def test_dbm_trains_on_mesh(tmp_model_dir):
     X = (RNG(1).rand(64, 12) < 0.5).astype('float32')
     r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True, max_epoch=1,
