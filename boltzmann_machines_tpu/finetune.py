@@ -139,9 +139,15 @@ class MLPClassifier(object):
         return ce + reg, new_bn
 
     def _multipliers(self):
-        """Per-layer lr multipliers keyed by the params-list index prefix."""
-        return {str(i): float(cfg.get('lr_multiplier', 1.))
-                for i, cfg in enumerate(self.layers)}
+        """Per-layer lr multipliers on the dense kernel/bias only --
+        batch-norm gamma/beta train at the full rate, as in the reference
+        recipe where BN is a separate (unmatched) Keras layer."""
+        mults = {}
+        for i, cfg in enumerate(self.layers):
+            m = float(cfg.get('lr_multiplier', 1.))
+            mults['{0}/W'.format(i)] = m
+            mults['{0}/b'.format(i)] = m
+        return mults
 
     def _build_programs(self):
         from .utils.optimizers import scale_by_multipliers
@@ -173,7 +179,10 @@ class MLPClassifier(object):
         def evaluate(params, bn_stats, X, Y):
             logits, _ = self._apply(params, bn_stats, X, False,
                                     jax.random.PRNGKey(0))
-            loss = optax.softmax_cross_entropy(logits, Y).mean()
+            # include the L2 term, matching Keras' val_loss semantics
+            reg = sum(jnp.sum(jnp.square(params[i]['W'])) * self.l2
+                      for i in range(len(self.layers)))
+            loss = optax.softmax_cross_entropy(logits, Y).mean() + reg
             acc = jnp.mean(jnp.argmax(logits, 1) == jnp.argmax(Y, 1))
             return loss, acc
 
@@ -187,8 +196,9 @@ class MLPClassifier(object):
         Y = one_hot(np.asarray(y), self.n_classes).astype(np.float32)
         B = self.batch_size
         nb = len(X) // B
-        Xb = jnp.asarray(X[:nb * B].reshape(nb, B, -1))
-        Yb = jnp.asarray(Y[:nb * B].reshape(nb, B, -1))
+        d = X.shape[1]
+        Xb = jnp.asarray(X[:nb * B].reshape(nb, B, d))
+        Yb = jnp.asarray(Y[:nb * B].reshape(nb, B, self.n_classes))
         X_rem = jnp.asarray(X[nb * B:]) if len(X) % B else None
         Y_rem = jnp.asarray(Y[nb * B:]) if len(X) % B else None
         if X_val is not None:
@@ -206,12 +216,16 @@ class MLPClassifier(object):
 
         for epoch in range(1, self.max_epoch + 1):
             key, k = jax.random.split(key)
-            self._params, self._bn_stats, opt_state, loss = train_epoch(
-                self._params, self._bn_stats, opt_state, Xb, Yb, lr, k)
+            loss = jnp.zeros(())
+            if nb > 0:
+                self._params, self._bn_stats, opt_state, loss = train_epoch(
+                    self._params, self._bn_stats, opt_state, Xb, Yb, lr, k)
             if X_rem is not None:
-                self._params, self._bn_stats, opt_state, _ = train_step(
-                    self._params, self._bn_stats, opt_state, X_rem, Y_rem,
-                    lr, jax.random.fold_in(k, nb))
+                self._params, self._bn_stats, opt_state, rem_loss = \
+                    train_step(self._params, self._bn_stats, opt_state,
+                               X_rem, Y_rem, lr, jax.random.fold_in(k, nb))
+                if nb == 0:
+                    loss = rem_loss
             msg = 'mlp epoch {0}/{1}: loss {2:.4f}'.format(
                 epoch, self.max_epoch, float(loss))
             if X_val is not None:

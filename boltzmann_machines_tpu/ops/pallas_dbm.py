@@ -21,10 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _uniform_bits(shape):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    mant = (bits >> 9) | jnp.uint32(0x3f800000)
-    return pltpu.bitcast(mant, jnp.float32) - 1.0
+from .pallas_ops import _uniform_bits  # shared PRNG-to-uniform conversion
 
 
 def _ais_kernel(seed_ref, x0_ref, W0_ref, W1_ref, vb_ref, hb0_ref, hb1_ref,
@@ -412,7 +409,6 @@ def _dbm_sample_kernel(scalars_ref, vb_ref, *refs,
     H_in = refs[2 * L + 1:2 * L + 1 + L]
     v_out = refs[2 * L + 1 + L]
     H_out = refs[2 * L + 2 + L:2 * L + 2 + 2 * L]
-    vmeans_out = refs[2 * L + 2 + 2 * L]
 
     pltpu.prng_seed(scalars_ref[0])
     n_steps = scalars_ref[1].astype(jnp.int32)
@@ -461,7 +457,6 @@ def _dbm_sample_kernel(scalars_ref, vb_ref, *refs,
     v_out[:] = v_means  # reference assigns the means into the v particles
     for l in range(L):
         H_out[l][:] = H[l]
-    vmeans_out[:] = v_means
 
 
 def make_dbm_sample_kernel(layer_sizes, n_particles, sample_v, sample_h):
@@ -481,14 +476,13 @@ def make_dbm_sample_kernel(layer_sizes, n_particles, sample_v, sample_h):
         scalars = jnp.asarray([seed, n_steps], jnp.uint32)
         out_shapes = ([jax.ShapeDtypeStruct((n_particles, V), f32)] +
                       [jax.ShapeDtypeStruct((n_particles, h), f32)
-                       for h in hs] +
-                      [jax.ShapeDtypeStruct((n_particles, V), f32)])
+                       for h in hs])
         outs = pl.pallas_call(
             kern,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                      [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L + 2 + L),
-            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * (L + 2)),
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * (L + 1)),
             out_shape=tuple(out_shapes),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -500,7 +494,8 @@ def make_dbm_sample_kernel(layer_sizes, n_particles, sample_v, sample_h):
         new_state = dict(state)
         new_state['v'] = outs[0]
         new_state['H'] = tuple(outs[1:1 + L])
-        return new_state, outs[1 + L]
+        # the chain's visible means ARE the new v particles (dbm.py:641-648)
+        return new_state, outs[0]
 
     return sample
 

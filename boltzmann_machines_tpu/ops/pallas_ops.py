@@ -140,6 +140,8 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
         return (_uniform_bits(v_means.shape) < v_means).astype(f32)
 
     v_means = X
+    v_states = X  # defined for the degenerate k=0 case (zero dW gradient;
+    #               the reference crashes outright on n_gibbs_steps=0)
     h_means = h0_means
     for _step in range(k):
         v_means = v_activation(h_states)

@@ -57,7 +57,9 @@ def scale_by_multipliers(updates, lr_multipliers, learning_rate):
     def multiplier_of(path):
         s = path_str(path)
         for key, value in lr_multipliers.items():
-            if s.startswith(str(key)):
+            key = str(key)
+            # exact path or segment-boundary prefix ('1' must not match '10/W')
+            if s == key or s.startswith(key + '/'):
                 return value
         return 1.
 
