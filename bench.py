@@ -46,7 +46,7 @@ def main():
 
     def run_epoch(state, i):
         if use_pallas:
-            state, _, _ = prog(state, full, 0.05, 0.9, i + 1, 0)
+            state = prog(state, full, 0.05, 0.9, i + 1, 0)[0]
         else:
             xprog = rbm._program('train_epoch', rbm._train_epoch_program)
             state, _, _ = xprog(state, full, 0.05, 0.9, 1,

@@ -377,7 +377,7 @@ def make_dbm_epoch_kernel(layer_sizes, batch_size, n_particles, k,
                       pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec((1, batch_size, V), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] +
-                     [pl.BlockSpec(memory_space=pltpu.ANY)] * n_state,
+                     [pl.BlockSpec(memory_space=pl.ANY)] * n_state,
             out_specs=tuple([const_spec(s.shape) for s in shapes] +
                             [const_spec((NB, 128)), const_spec((NB, 128))]),
             out_shape=tuple(shapes +

@@ -81,7 +81,7 @@ def bernoulli_sample(seed, probs):
 def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                      W_in, vb_in, hb_in, dW_in, dvb_in, dhb_in, q_in,
                      W_o, vb_o, hb_o, dW_o, dvb_o, dhb_o, q_o,
-                     msre_o, pll_o, dma_sems,
+                     msre_o, pll_o, l2_o, dma_sems,
                      *, k, batch_size, n_visible,
                      sample_v_states, sample_h_states,
                      propup_mult, propdown_mult,
@@ -182,6 +182,19 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
     msre_val = jnp.where(want, jnp.mean(jnp.square(X - v_means)), f32(0.))
     msre_o[pl.ds(i, 1), :] = jnp.full((1, 128), msre_val, dtype=f32)
 
+    # per-iteration l2 loss on the post-update weights -- same cadence and
+    # semantics as the XLA path's `_metrics` (the epoch value is the mean of
+    # logged iterations, not end-of-epoch W)
+    @pl.when(want)
+    def _():
+        Wn = W_o[:]
+        l2_val = f32(l2) * 0.5 * jnp.sum(Wn * Wn)
+        l2_o[pl.ds(i, 1), :] = jnp.full((1, 128), l2_val, dtype=f32)
+
+    @pl.when(jnp.logical_not(want))
+    def _():
+        l2_o[pl.ds(i, 1), :] = jnp.zeros((1, 128), dtype=f32)
+
     if compute_pll:
         @pl.when(want)
         def _():
@@ -217,7 +230,7 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                            W_in, dW_in,
                            vb_in, hb_in, dvb_in, dhb_in, q_in,
                            W_hbm, dW_hbm,
-                           vb_o, hb_o, dvb_o, dhb_o, q_o, msre_o,
+                           vb_o, hb_o, dvb_o, dhb_o, q_o, msre_o, l2_o,
                            Wt, dWt, h0m, hst, hm, vpre, vst,
                            dma_sems,
                            *, k, batch_size, n_visible, n_hidden,
@@ -334,7 +347,9 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
     vb_o[:] = vb + dvb_acc
     hb_o[:] = hb + dhb_acc
 
-    # weight updates: stream W and dW tiles through VMEM and write back
+    # weight updates: stream W and dW tiles through VMEM and write back;
+    # accumulate sum(W^2) of the post-update tiles for the l2 metric
+    ssq = f32(0.)
     for t, c0, w in tiles():
         cw = pltpu.make_async_copy(W_hbm.at[:, c0:c0 + w], Wt.at[:, :w],
                                    dma_sems.at[0])
@@ -360,6 +375,7 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
             acc = jnp.where(col < n_hidden_real, acc, f32(0.))
         dWt[:, :w] = acc
         Wt[:, :w] = Wt[:, :w] + acc
+        ssq = ssq + jnp.sum(Wt[:, :w] * Wt[:, :w])
         ow = pltpu.make_async_copy(Wt.at[:, :w], W_hbm.at[:, c0:c0 + w],
                                    dma_sems.at[0])
         od = pltpu.make_async_copy(dWt.at[:, :w], dW_hbm.at[:, c0:c0 + w],
@@ -373,6 +389,10 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
     msre_val = jnp.where(want, jnp.mean(jnp.square(X - v_means_last)),
                          f32(0.))
     msre_o[pl.ds(i, 1), :] = jnp.full((1, 128), msre_val, dtype=f32)
+    # padded weight columns are exactly zero, so ssq equals sum over the
+    # real (V, H_real) matrix
+    l2_val = jnp.where(want, f32(l2) * 0.5 * ssq, f32(0.))
+    l2_o[pl.ds(i, 1), :] = jnp.full((1, 128), l2_val, dtype=f32)
 
 
 def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
@@ -438,6 +458,7 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             jax.ShapeDtypeStruct((1, H), f32),     # dhb
             jax.ShapeDtypeStruct((1, H), f32),     # q_means
             jax.ShapeDtypeStruct((NB, 128), f32),  # msre
+            jax.ShapeDtypeStruct((NB, 128), f32),  # l2 loss
         )
 
         outs = pl.pallas_call(
@@ -449,11 +470,12 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                 pl.BlockSpec((1, B, V), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 const2d((1, V)),  # sigma
-            ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            ] + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
             out_specs=tuple(
-                [pl.BlockSpec(memory_space=pltpu.ANY)] * 2 +
+                [pl.BlockSpec(memory_space=pl.ANY)] * 2 +
                 [const2d((1, V)), const2d((1, H)), const2d((1, V)),
-                 const2d((1, H)), const2d((1, H)), const2d((NB, 128))]),
+                 const2d((1, H)), const2d((1, H)), const2d((NB, 128)),
+                 const2d((NB, 128))]),
             out_shape=out_shapes,
             scratch_shapes=[
                 pltpu.VMEM((V, tile), jnp.float32),      # Wt
@@ -471,7 +493,7 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             ),
         )(scalars, sched, X_batches, jnp.asarray(sigma_arr), *in_state)
 
-        (W, dW, vb, hb, dvb, dhb, q, msre) = outs
+        (W, dW, vb, hb, dvb, dhb, q, msre, l2row) = outs
         new_state = {
             'W': W[:, :H_real], 'vb': vb.reshape(V),
             'hb': hb.reshape(H)[:H_real],
@@ -479,7 +501,7 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             'dhb': dhb.reshape(H)[:H_real],
             'q_means': q.reshape(H)[:H_real],
         }
-        return new_state, msre[:, 0], jnp.zeros_like(msre[:, 0])
+        return new_state, msre[:, 0], jnp.zeros_like(msre[:, 0]), l2row[:, 0]
 
     return epoch
 
@@ -543,6 +565,7 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             jax.ShapeDtypeStruct((1, H), f32),     # q_means
             jax.ShapeDtypeStruct((NB, 128), f32),  # msre per batch (lane 0)
             jax.ShapeDtypeStruct((NB, 128), f32),  # pll per batch (lane 0)
+            jax.ShapeDtypeStruct((NB, 128), f32),  # l2 loss per batch (lane 0)
         )
 
         outs = pl.pallas_call(
@@ -554,11 +577,12 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                 pl.BlockSpec((1, B, V), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 const2d((1, V)),  # sigma
-            ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+            ] + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
             out_specs=(
                 const2d((V, H)), const2d((1, V)), const2d((1, H)),
                 const2d((V, H)), const2d((1, V)), const2d((1, H)),
                 const2d((1, H)),
+                const2d((NB, 128)),
                 const2d((NB, 128)),
                 const2d((NB, 128)),
             ),
@@ -571,12 +595,12 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             interpret=(pltpu.InterpretParams() if interpret else False),
         )(scalars, sched, X_batches, jnp.asarray(sigma_arr), *in_state)
 
-        (W, vb, hb, dW, dvb, dhb, q, msre, pll) = outs
+        (W, vb, hb, dW, dvb, dhb, q, msre, pll, l2row) = outs
         new_state = {
             'W': W, 'vb': vb.reshape(V), 'hb': hb.reshape(H),
             'dW': dW, 'dvb': dvb.reshape(V), 'dhb': dhb.reshape(H),
             'q_means': q.reshape(H),
         }
-        return new_state, msre[:, 0], pll[:, 0]
+        return new_state, msre[:, 0], pll[:, 0], l2row[:, 0]
 
     return epoch

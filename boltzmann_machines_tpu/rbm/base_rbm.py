@@ -173,6 +173,17 @@ class BaseRBM(EnergyBasedModel):
     # state management                                                    #
     # ================================================================== #
     def _init_state(self):
+        # params.json drops arrays >1e6 elements (base/base_model.py); after
+        # load_model those live only in model.npz.  If we get here with a
+        # None init, the npz restore never happened -- fail loudly instead
+        # of crashing on float(None) below.
+        for name in ('W_init', 'vb_init', 'hb_init'):
+            if getattr(self, name) is None:
+                raise RuntimeError(
+                    '`{0}` is None: it was too large for params.json and '
+                    'must be restored from the model.npz checkpoint '
+                    '(missing or corrupt?) before initializing state'
+                    .format(name))
         dtype = self._jnp_dtype
         key = self.make_prng_key()
 
@@ -584,17 +595,18 @@ class BaseRBM(EnergyBasedModel):
                 lambda: self._pallas_epoch_program(k, full.shape[0]))
             if prog is None:
                 return None  # caller falls back to the XLA path
-            self._state, msre_s, pll_s = prog(self._state, full, lr, mom,
-                                              seed, iter0)
+            self._state, msre_s, pll_s, l2_s = prog(self._state, full, lr,
+                                                    mom, seed, iter0)
             self.iter_ += int(full.shape[0])
             msre_s = np.asarray(msre_s)
             pll_s = np.asarray(pll_s)
+            l2_s = np.asarray(l2_s)
         else:
             # zero full batches: the kernel's grid-step-0 state DMA would
             # never run -- only the remainder step below trains
             msre_s = np.zeros((0,), np.float32)
             pll_s = np.zeros((0,), np.float32)
-        l2_s = np.zeros_like(msre_s)
+            l2_s = np.zeros((0,), np.float32)
         iters = iter0 + 1 + np.arange(len(msre_s))
         mask = (iters % self.metrics_config['train_metrics_every_iter']) == 0
 
@@ -615,8 +627,7 @@ class BaseRBM(EnergyBasedModel):
             if self.metrics_config['pll']:
                 results['pll'] = float(pll_s[mask].mean())
             if self.metrics_config['l2_loss']:
-                s = jax.device_get(self._state['W'])
-                results['l2_loss'] = float(self.l2 * 0.5 * np.sum(s ** 2))
+                results['l2_loss'] = float(l2_s[mask].mean())
         return results
 
     # ================================================================== #

@@ -41,7 +41,7 @@ def load_mnist(mode='train', path='.'):
     data = load_idx3(fname_data, scale=1.0)
     target = load_idx1(fname_target)
     if data is not None and target is not None:
-        return data.astype(float), target
+        return data.astype(float), target.astype(np.int32)
 
     with open(fname_data, 'rb') as fdata:
         magic, n_samples, n_rows, n_cols = struct.unpack('>IIII', fdata.read(16))
@@ -50,9 +50,12 @@ def load_mnist(mode='train', path='.'):
 
     with open(fname_target, 'rb') as ftarget:
         magic, n_samples = struct.unpack('>II', ftarget.read(8))
-        target = np.fromfile(ftarget, dtype=np.int8)
+        # IDX1 labels are unsigned bytes; cast both code paths to int32 so
+        # downstream dtype-sensitive code sees one type regardless of
+        # whether the native loader is available
+        target = np.fromfile(ftarget, dtype=np.uint8)
 
-    return data.astype(float), target
+    return data.astype(float), target.astype(np.int32)
 
 
 def load_cifar10(mode='train', path='.'):

@@ -47,7 +47,7 @@ def test_cd_epoch_kernel_matches_xla_path(tmp_path):
         V, H, B, k=1, sample_v_states=False, sample_h_states=False,
         propup_mult=1., propdown_mult=1., l2=1e-5, sparsity_target=0.1,
         sparsity_cost=1e-5, sparsity_damping=0.9, metrics_every=4)
-    s_pal, msre, pll = ep_pal(s_pal_in, full, 0.05, 0.9, 7, 0)
+    s_pal, msre, pll, l2row = ep_pal(s_pal_in, full, 0.05, 0.9, 7, 0)
 
     for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
         np.testing.assert_allclose(np.asarray(s_xla[k]), np.asarray(s_pal[k]),
@@ -65,6 +65,9 @@ def test_cd_epoch_kernel_matches_xla_path(tmp_path):
     p_xla = np.asarray(stacked[1])[mask]
     assert np.all(p_pal < 0.)
     assert abs(p_pal.mean() - p_xla.mean()) / abs(p_xla.mean()) < 0.5
+    # l2 loss rows match the XLA path's per-logged-iteration values
+    np.testing.assert_allclose(np.asarray(stacked[2])[mask],
+                               np.asarray(l2row)[mask], rtol=1e-3)
 
 
 @requires_tpu
@@ -99,7 +102,7 @@ def test_gaussian_cd_epoch_kernel_matches_xla(tmp_path):
     sx, _, _ = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
     assert g._pallas_eligible()
     ep_pal = g._pallas_epoch_program(1, nb)
-    sp, _, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
+    sp, _, _, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
     for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
         np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
                                    atol=1e-5)
@@ -140,15 +143,19 @@ def test_tiled_cd_kernel_matches_xla_with_padding(tmp_path):
     s0 = jtu.tree_map(jnp.copy, g._state)
     s1 = jtu.tree_map(jnp.copy, g._state)
     ep_xla = g._program('train_epoch', g._train_epoch_program)
-    sx, _, _ = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
+    sx, _, stacked = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
     ep_t = make_tiled_cd_epoch_kernel(
         768, 2500, 64, 1, False, False, 1., 1., 1e-3, 0.1, 1e-3, 0.9, 2,
         visible='gaussian', sigma=np.ones((1, 768), np.float32), tile=1024)
-    sp, msre, _ = ep_t(s1, full, 1e-3, 0.9, 7, 0)
+    sp, msre, _, l2row = ep_t(s1, full, 1e-3, 0.9, 7, 0)
     for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
         np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
                                    atol=1e-4)
     assert sp['W'].shape == (768, 2500)  # unpadded on return
+    # l2 rows (summed over streamed tiles, padded cols zero) match XLA
+    mask = np.asarray(stacked[3]).astype(bool)
+    np.testing.assert_allclose(np.asarray(stacked[2])[mask],
+                               np.asarray(l2row)[mask], rtol=1e-3)
 
 
 @requires_tpu
