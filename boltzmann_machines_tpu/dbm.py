@@ -395,10 +395,15 @@ class DBM(EnergyBasedModel):
             mu_new[-1] = self._h_layers[-1].activation(T, state['hb'][-1])
         return tuple(mu_new)
 
-    def _mf(self, state, X):
+    def _mf(self, state, X, axis_name=None):
         """Mean-field fixed point: sweep until the max infinity-norm change
         across layers is <= mf_tol or `max_mf_updates` reached; returns
-        (mu, n_updates) (reference dbm.py:429-478)."""
+        (mu, n_updates) (reference dbm.py:429-478).
+
+        Inside a shard_map body pass `axis_name`: the convergence predicate
+        becomes a global pmax over the sharded batch, so every shard runs
+        the same number of sweeps (the reference's whole-batch infinity
+        norm)."""
         dtype = X.dtype
         tol = jnp.asarray(self.mf_tol, dtype=dtype)
         mu0 = self._mf_init(state, X)
@@ -412,6 +417,8 @@ class DBM(EnergyBasedModel):
             mu_new = self._mf_sweep(state, X, mu)
             delta = jnp.max(jnp.stack(
                 [jnp.max(jnp.abs(a - b)) for a, b in zip(mu_new, mu)]))
+            if axis_name is not None:
+                delta = jax.lax.pmax(delta, axis_name)
             return step + 1, mu_new, delta
 
         init = (jnp.zeros((), jnp.int32), mu0,
@@ -431,27 +438,56 @@ class DBM(EnergyBasedModel):
         mx = jnp.asarray(self.max_norm, dtype=W.dtype)
         return W * jnp.minimum(norm, mx) / jnp.maximum(norm, 1e-8)
 
-    def _train_step(self, state, X, lr, momentum, k, key):
-        """One PCD/MF parameter update (reference dbm.py:515-639)."""
+    def _dbm_stats(self, state, X, k, key, axis_name=None, constrain=True):
+        """PCD/MF sufficient statistics of one (shard of a) minibatch plus
+        the advanced local particle rows: the raw *sums* whose cross-shard
+        ``psum`` equals the full-batch/full-particle statistics.  Returns
+        (stats, particles, aux)."""
         L = self.n_layers_
-        dtype = X.dtype
-        N = jnp.asarray(X.shape[0], dtype=dtype)
-        M = jnp.asarray(self.n_particles, dtype=dtype)
+
+        # positive phase: variational mean-field on the (local) minibatch
+        mu, n_mf_updates = self._mf(state, X, axis_name=axis_name)
+
+        # negative phase: advance the (local) persistent chains k steps
+        if constrain:
+            v, H = self._particles_update(state, state['v'], state['H'],
+                                          k, key)
+        else:  # inside shard_map: rows are already local, no constraints
+            def body(i, carry):
+                v, H = carry
+                return self._particles_gibbs_step(
+                    state, v, H, jax.random.fold_in(key, i))
+            v, H = jax.lax.fori_loop(0, k, body, (state['v'], state['H']))
+
+        stats = {
+            'sum_X': jnp.sum(X, axis=0),
+            'sum_v': jnp.sum(v, axis=0),
+            'pos': tuple([X.T @ mu[0]] +
+                         [mu[i - 1].T @ mu[i] for i in range(1, L)]),
+            'neg': tuple([v.T @ H[0]] +
+                         [H[i - 1].T @ H[i] for i in range(1, L)]),
+            'sum_mu': tuple(jnp.sum(mu[i], axis=0) for i in range(L)),
+            'sum_H': tuple(jnp.sum(H[i], axis=0) for i in range(L)),
+        }
+        aux = {'mu0': mu[0], 'n_mf': n_mf_updates}
+        return stats, (v, H), aux
+
+    def _apply_dbm_update(self, state, stats, particles, N, M, lr, momentum):
+        """Parameter update from (possibly psum-reduced) PCD/MF statistics:
+        data statistics / N minus particle statistics / M, per-layer EMA
+        sparsity, the reference momentum rule, and max-norm clipping
+        (reference dbm.py:515-622)."""
+        L = self.n_layers_
+        dtype = state['vb'].dtype
+        N = jnp.asarray(N, dtype=dtype)
+        M = jnp.asarray(M, dtype=dtype)
         l2 = jnp.asarray(self.l2, dtype=dtype)
+        v, H = particles
 
-        # positive phase: variational mean-field on the minibatch
-        mu, n_mf_updates = self._mf(state, X)
-
-        # negative phase: advance persistent chains k Gibbs steps
-        v, H = self._particles_update(state, state['v'], state['H'], k, key)
-
-        # gradient estimates: data statistics / N minus particle stats / M
-        dvb = jnp.mean(X, axis=0) - jnp.mean(v, axis=0)
-        dW = [(X.T @ mu[0]) / N - (v.T @ H[0]) / M - l2 * state['W'][0]]
-        for i in range(1, L):
-            dW.append((mu[i - 1].T @ mu[i]) / N
-                      - (H[i - 1].T @ H[i]) / M - l2 * state['W'][i])
-        dhb = [jnp.mean(mu[i], axis=0) - jnp.mean(H[i], axis=0)
+        dvb = stats['sum_X'] / N - stats['sum_v'] / M
+        dW = [stats['pos'][i] / N - stats['neg'][i] / M - l2 * state['W'][i]
+              for i in range(L)]
+        dhb = [stats['sum_mu'][i] / N - stats['sum_H'][i] / M
                for i in range(L)]
 
         # per-layer EMA sparsity on summed particle and variational means
@@ -463,9 +499,9 @@ class DBM(EnergyBasedModel):
             cost = jnp.asarray(self.sparsity_cost[i], dtype=dtype)
             target = jnp.asarray(self.sparsity_target[i], dtype=dtype)
             q_new = damping * state['q_means'][i] + \
-                (1. - damping) * jnp.sum(H[i], axis=0)
+                (1. - damping) * stats['sum_H'][i]
             m_new = damping * state['mu_means'][i] + \
-                (1. - damping) * jnp.sum(mu[i], axis=0)
+                (1. - damping) * stats['sum_mu'][i]
             q_means.append(q_new)
             mu_means.append(m_new)
             penalty = cost * (q_new - target) + cost * (m_new - target)
@@ -482,7 +518,7 @@ class DBM(EnergyBasedModel):
         W_new = [self._apply_max_norm(state['W'][i] + dW_acc[i])
                  for i in range(L)]
 
-        new_state = {
+        return {
             'vb': state['vb'] + dvb_acc,
             'W': tuple(W_new),
             'hb': tuple(state['hb'][i] + dhb_acc[i] for i in range(L)),
@@ -495,9 +531,15 @@ class DBM(EnergyBasedModel):
             'H': H,
         }
 
-        v_means = self._reconstruction_means(new_state, mu[0])
+    def _train_step(self, state, X, lr, momentum, k, key):
+        """One PCD/MF parameter update (reference dbm.py:515-639)."""
+        stats, particles, aux = self._dbm_stats(state, X, k, key)
+        new_state = self._apply_dbm_update(state, stats, particles,
+                                           X.shape[0], self.n_particles,
+                                           lr, momentum)
+        v_means = self._reconstruction_means(new_state, aux['mu0'])
         msre = jnp.mean(jnp.square(X - v_means))
-        return new_state, (msre, n_mf_updates)
+        return new_state, (msre, aux['n_mf'])
 
     # ================================================================== #
     # jitted programs                                                     #
@@ -509,16 +551,81 @@ class DBM(EnergyBasedModel):
 
     def _pallas_epoch_eligible(self):
         """The fused DBM epoch kernel covers all-Bernoulli float32 DBMs on
-        a single TPU chip (the dbm_mnist flagship configuration)."""
+        a single TPU chip (the dbm_mnist flagship configuration); a
+        single-device mesh needs no collectives, so it keeps the kernel."""
         self._ensure_layers()
         if self.kernel == 'xla':
             return False
+        single_dev = self._mesh is None or self._mesh[0].size == 1
         ok = (all(isinstance(l, BernoulliLayer)
                   for l in [self._v_layer] + self._h_layers)
               and self.dtype == 'float32'
-              and self._mesh is None
+              and single_dev
               and jax.default_backend() == 'tpu')
         return ok
+
+    def _shardmap_eligible(self):
+        """Mesh-sharded DBM training runs the explicit-collective shard_map
+        epoch: batch rows AND persistent particles sharded along the data
+        axis, gradient statistics psum-reduced, the MF convergence
+        predicate pmax-reduced, weights replicated."""
+        if self._mesh is None or self.kernel == 'xla':
+            return False
+        mesh, axis = self._mesh
+        n = mesh.shape[axis]
+        return (self.batch_size % n == 0) and (self.n_particles % n == 0)
+
+    def _shardmap_epoch_program(self, k):
+        """One DBM training epoch over a data-parallel mesh as a single
+        jitted shard_map program.  Each shard runs mean-field on its batch
+        rows (globally-synchronized convergence via pmax) and advances its
+        rows of the persistent chains; the PCD gradient statistics are
+        psum-reduced over ICI and every shard applies the identical update.
+        Weights stay replicated, particles stay sharded -- nothing is ever
+        gathered.  Semantics match the single-device epoch with
+        whole-batch/whole-chain statistics (reference dbm.py:515-639)."""
+        from jax.sharding import PartitionSpec as P
+        mesh, axis = self._mesh
+        N_global = self.batch_size
+        M_global = self.n_particles
+        V = self.n_visible_
+        dtype = self._jnp_dtype
+
+        def epoch_fn(state, X_batches, lr, momentum, k_unused, key, iter0):
+            my = jax.lax.axis_index(axis)
+
+            def scan_body(carry, X_batch):
+                state, it = carry
+                it = it + 1
+                step_key = jax.random.fold_in(jax.random.fold_in(key, it), my)
+                stats, particles, aux = self._dbm_stats(
+                    state, X_batch, k, step_key, axis_name=axis,
+                    constrain=False)
+                stats = jax.lax.psum(stats, axis)
+                new_state = self._apply_dbm_update(
+                    state, stats, particles, N_global, M_global, lr, momentum)
+                v_means = self._reconstruction_means(new_state, aux['mu0'])
+                sq = jax.lax.psum(jnp.sum(jnp.square(X_batch - v_means)),
+                                  axis)
+                msre = sq / jnp.asarray(N_global * V, dtype)
+                return (new_state, it), (msre, aux['n_mf'])
+
+            (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
+                                                X_batches)
+            return state, it, stacked
+
+        rep = P()
+        shard = P(axis, None)
+        state_spec = {'vb': rep, 'W': rep, 'hb': rep, 'dvb': rep, 'dW': rep,
+                      'dhb': rep, 'q_means': rep, 'mu_means': rep,
+                      'v': shard, 'H': shard}
+        sm = jax.shard_map(
+            epoch_fn, mesh=mesh,
+            in_specs=(state_spec, P(None, axis, None), rep, rep, rep, rep,
+                      rep),
+            out_specs=(state_spec, rep, (rep, rep)),
+            check_vma=False)
+        return jax.jit(sm, donate_argnums=(0,))
 
     def _pallas_epoch_program(self, k, n_batches):
         from .ops.pallas_dbm import make_dbm_epoch_kernel
@@ -760,7 +867,8 @@ class DBM(EnergyBasedModel):
         self._fit_key = self.make_prng_key()
         self._init_writers()
         use_pallas = self._pallas_epoch_eligible()
-        epoch_prog = None if use_pallas else \
+        use_shardmap = (not use_pallas) and self._shardmap_eligible()
+        epoch_prog = None if (use_pallas or use_shardmap) else \
             self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
@@ -792,6 +900,10 @@ class DBM(EnergyBasedModel):
                 msres = np.zeros((0,), np.float32)
                 n_mfs = np.zeros((0,), np.float32)
             else:
+                if use_shardmap:
+                    epoch_prog = self._program(
+                        ('shardmap_epoch', k),
+                        lambda k=k: self._shardmap_epoch_program(k))
                 self._state, it, (msres, n_mfs) = epoch_prog(
                     self._state, full, lr, mom, k, ekey, self.iter_)
                 self.iter_ = int(it)

@@ -76,8 +76,35 @@ def bernoulli_sample(seed, probs):
 
 
 # ---------------------------------------------------------------------- #
-# fused CD-k epoch for sigmoid-sigmoid RBMs                               #
+# fused CD-k epoch kernel                                                 #
 # ---------------------------------------------------------------------- #
+def _multinomial_sample_bits(means, n_samples):
+    """Exact Multinomial(n_samples, p) counts per row from hardware-PRNG
+    uniforms, entirely in VMEM: CDF via an upper-triangular matmul
+    (Mosaic-safe cumsum on the MXU), then `n_samples` inverse-CDF bucket
+    tests accumulated by a fori_loop, and adjacent differences via a
+    shifted-identity matmul.  Mirrors MultinomialLayer.sample (layers.py)
+    with the on-chip PRNG."""
+    f32 = jnp.float32
+    B, H = means.shape
+    p = means * f32(1. / n_samples)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+    tri = (row <= col).astype(f32)
+    cdf = jnp.dot(p, tri, preferred_element_type=f32)
+    # the last bucket absorbs every draw despite float rounding of the CDF
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    cdf = cdf + (lane == (H - 1)).astype(f32)
+
+    def body(_, s):
+        u = _uniform_bits((B, 1))
+        return s + (u < cdf).astype(f32)
+
+    s = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((B, H), f32))
+    shift = (col == row + 1).astype(f32)   # (s @ shift)_j = s_{j-1}
+    return s - jnp.dot(s, shift, preferred_element_type=f32)
+
+
 def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                      W_in, vb_in, hb_in, dW_in, dvb_in, dhb_in, q_in,
                      W_o, vb_o, hb_o, dW_o, dvb_o, dhb_o, q_o,
@@ -86,7 +113,8 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                      sample_v_states, sample_h_states,
                      propup_mult, propdown_mult,
                      l2, sparsity_target, sparsity_cost, sparsity_damping,
-                     metrics_every, compute_pll, visible):
+                     metrics_every, compute_pll, visible,
+                     hidden='bernoulli', n_samples=None):
     i = pl.program_id(0)
     pltpu.prng_seed(scalars_ref[0], i)
     lr = sched_ref[0]
@@ -122,11 +150,22 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
         return jax.lax.dot_general(h, W, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
-    h0_means = jax.nn.sigmoid(up * (propup(X) + hb))
-    if sample_h_states:
-        h_states = (_uniform_bits(h0_means.shape) < h0_means).astype(f32)
-    else:
-        h_states = h0_means
+    def h_activation(src):
+        pre = up * (propup(src) + hb)
+        if hidden == 'multinomial':
+            # MultinomialLayer.activation: n_samples * softmax(pre)
+            m = jnp.max(pre, axis=1, keepdims=True)
+            e = jnp.exp(pre - m)
+            return f32(n_samples) * e / jnp.sum(e, axis=1, keepdims=True)
+        return jax.nn.sigmoid(pre)
+
+    def h_sample(means):
+        if hidden == 'multinomial':
+            return _multinomial_sample_bits(means, n_samples)
+        return (_uniform_bits(means.shape) < means).astype(f32)
+
+    h0_means = h_activation(X)
+    h_states = h_sample(h0_means) if sample_h_states else h0_means
 
     def v_activation(h_states):
         if visible == 'gaussian':
@@ -146,9 +185,8 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
     for _step in range(k):
         v_means = v_activation(h_states)
         v_states = v_sample(v_means) if sample_v_states else v_means
-        h_means = jax.nn.sigmoid(up * (propup(v_states) + hb))
-        h_states = ((_uniform_bits(h_means.shape) < h_means).astype(f32)
-                    if sample_h_states else h_means)
+        h_means = h_activation(v_states)
+        h_states = h_sample(h_means) if sample_h_states else h_means
 
     N = f32(batch_size)
     # positive - negative associations (all on the MXU)
@@ -506,15 +544,137 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
     return epoch
 
 
+def _cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_ref, vb_ref, hb_ref,
+                     assoc_o, dvb_o, dhb_o, hsum_o, vmeans_o,
+                     *, k, sample_v_states, sample_h_states,
+                     propup_mult, propdown_mult, visible):
+    """Per-shard CD-k sufficient statistics (no parameter update): the raw
+    sums whose cross-chip ``psum`` equals the full-batch statistics of
+    `BaseRBM._cd_stats`.  Used inside the shard_map data-parallel epoch so
+    multi-chip training keeps on-chip-PRNG sampling and fused compute while
+    XLA handles the gradient all-reduce between steps."""
+    f32 = jnp.float32
+    # Mosaic supports at most 2 seed values: golden-ratio-mix the shard
+    # index into the epoch seed so each (seed, shard) pair gets a distinct
+    # stream, and keep the step counter as the second value
+    shard_seed = seed_ref[0] ^ (seed_ref[2] * jnp.uint32(0x9E3779B9))
+    pltpu.prng_seed(shard_seed, seed_ref[1])
+    W = W_ref[:]
+    vb = vb_ref[:]
+    hb = hb_ref[:]
+    X = x_ref[:]
+    up = f32(propup_mult)
+    down = f32(propdown_mult)
+
+    def propup(v):
+        return jnp.dot(v, W, preferred_element_type=f32)
+
+    def propdown(h):
+        return jax.lax.dot_general(h, W, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    h0_means = jax.nn.sigmoid(up * (propup(X) + hb))
+    if sample_h_states:
+        h_states = (_uniform_bits(h0_means.shape) < h0_means).astype(f32)
+    else:
+        h_states = h0_means
+
+    def v_activation(h_states):
+        if visible == 'gaussian':
+            return down * propdown(h_states) * sigma_ref[:] + down * vb
+        return jax.nn.sigmoid(down * (propdown(h_states) + vb))
+
+    def v_sample(v_means):
+        if visible == 'gaussian':
+            return v_means + _normal_from_bits(v_means.shape) * sigma_ref[:]
+        return (_uniform_bits(v_means.shape) < v_means).astype(f32)
+
+    v_means = X
+    v_states = X
+    h_means = h0_means
+    for _step in range(k):
+        v_means = v_activation(h_states)
+        v_states = v_sample(v_means) if sample_v_states else v_means
+        h_means = jax.nn.sigmoid(up * (propup(v_states) + hb))
+        h_states = ((_uniform_bits(h_means.shape) < h_means).astype(f32)
+                    if sample_h_states else h_means)
+
+    pos = jax.lax.dot_general(X, h0_means, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    neg = jax.lax.dot_general(v_states, h_means, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    assoc_o[:] = pos - neg
+    dvb_o[:] = jnp.sum(X - v_states, axis=0, keepdims=True)
+    dhb_o[:] = jnp.sum(h0_means - h_means, axis=0, keepdims=True)
+    hsum_o[:] = jnp.sum(h_means, axis=0, keepdims=True)
+    vmeans_o[:] = v_means
+
+
+def make_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
+                         sample_v_states, sample_h_states,
+                         propup_mult, propdown_mult,
+                         visible='bernoulli', sigma=None):
+    """Build ``stats(state, X_local, seed, it, shard) -> (stats, aux)`` for
+    one shard-local minibatch: `stats` matches `BaseRBM._cd_stats` (assoc /
+    dvb_sum / dhb_sum / h_sum raw sums, psum-able across the data axis) and
+    `aux` carries {X, v_means} for the metric branch.  `seed`/`it`/`shard`
+    may be traced scalars -- the on-chip PRNG stream is (seed, it, shard)."""
+    V, H, B = n_visible, n_hidden, batch_size
+    assert visible in ('bernoulli', 'gaussian')
+    sigma_arr = (np.ones((1, V), np.float32) if sigma is None
+                 else np.broadcast_to(
+                     np.asarray(sigma, np.float32).reshape(1, -1),
+                     (1, V)).copy())
+
+    kern = functools.partial(
+        _cd_stats_kernel, k=k,
+        sample_v_states=sample_v_states, sample_h_states=sample_h_states,
+        propup_mult=propup_mult, propdown_mult=propdown_mult,
+        visible=visible)
+
+    def stats(state, X_batch, seed, it, shard):
+        f32 = jnp.float32
+        seeds = jnp.stack([jnp.asarray(seed, jnp.uint32),
+                           jnp.asarray(it, jnp.int32).astype(jnp.uint32),
+                           jnp.asarray(shard, jnp.int32).astype(jnp.uint32)])
+        outs = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 5),
+            out_shape=(
+                jax.ShapeDtypeStruct((V, H), f32),   # assoc
+                jax.ShapeDtypeStruct((1, V), f32),   # dvb_sum
+                jax.ShapeDtypeStruct((1, H), f32),   # dhb_sum
+                jax.ShapeDtypeStruct((1, H), f32),   # h_sum
+                jax.ShapeDtypeStruct((B, V), f32),   # v_means
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(seeds, X_batch, jnp.asarray(sigma_arr),
+          state['W'], state['vb'].reshape(1, V), state['hb'].reshape(1, H))
+        assoc, dvb, dhb, hsum, v_means = outs
+        stats_tree = {'assoc': assoc, 'dvb_sum': dvb.reshape(V),
+                      'dhb_sum': dhb.reshape(H), 'h_sum': hsum.reshape(H)}
+        aux = {'X': X_batch, 'v_means': v_means}
+        return stats_tree, aux
+
+    return stats
+
+
 def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                          sample_v_states, sample_h_states,
                          propup_mult, propdown_mult,
                          l2, sparsity_target, sparsity_cost,
                          sparsity_damping, metrics_every,
                          compute_pll=True, interpret=False,
-                         visible='bernoulli', sigma=None):
-    """Build the fused CD-k epoch program for a sigmoid-hidden RBM with
-    Bernoulli or Gaussian (fixed-sigma) visible units.
+                         visible='bernoulli', sigma=None,
+                         hidden='bernoulli', n_samples=None):
+    """Build the fused CD-k epoch program for an RBM with Bernoulli or
+    Gaussian (fixed-sigma) visible units and Bernoulli (sigmoid) or
+    Multinomial (`n_samples` tied softmax draws) hidden units.
 
     Returns ``epoch(state, X_batches, lr, momentum, seed, iter0)`` ->
     ``(state, msre_per_batch, pll_per_batch)`` where `X_batches` is
@@ -523,7 +683,10 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
     """
     V, H, B = n_visible, n_hidden, batch_size
     assert visible in ('bernoulli', 'gaussian')
+    assert hidden in ('bernoulli', 'multinomial')
     assert not (visible == 'gaussian' and compute_pll)
+    assert not (hidden == 'multinomial' and compute_pll)
+    assert hidden == 'bernoulli' or n_samples is not None
     sigma_arr = (np.ones((1, V), np.float32) if sigma is None
                  else np.broadcast_to(
                      np.asarray(sigma, np.float32).reshape(1, -1),
@@ -535,7 +698,8 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
         propup_mult=propup_mult, propdown_mult=propdown_mult,
         l2=l2, sparsity_target=sparsity_target, sparsity_cost=sparsity_cost,
         sparsity_damping=sparsity_damping, metrics_every=metrics_every,
-        compute_pll=compute_pll, visible=visible)
+        compute_pll=compute_pll, visible=visible,
+        hidden=hidden, n_samples=n_samples)
 
     def const2d(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),

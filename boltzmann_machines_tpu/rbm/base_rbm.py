@@ -168,6 +168,7 @@ class BaseRBM(EnergyBasedModel):
         self._programs = {}
         # optional device mesh for sharded execution (see set_mesh)
         self._mesh = None
+        self._model_axis = None
 
     # ================================================================== #
     # state management                                                    #
@@ -255,6 +256,7 @@ class BaseRBM(EnergyBasedModel):
         biases / accumulators) are sharded along that axis -- tensor
         parallelism for the largest RBMs (e.g. the 3072x7800 CIFAR G-RBM)."""
         self._mesh = (mesh, data_axis)
+        self._model_axis = model_axis
         self._programs = {}
         if model_axis is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -323,9 +325,11 @@ class BaseRBM(EnergyBasedModel):
         mask = jax.random.bernoulli(key, keep, X.shape)
         return jnp.where(mask, X / keep, jnp.zeros_like(X))
 
-    def _cd_step(self, state, X_batch, lr, momentum, k, key):
-        """One CD-k parameter update; returns (new_state, aux) where aux
-        carries tensors needed by the metric branch."""
+    def _cd_stats(self, state, X_batch, k, key):
+        """CD-k sufficient statistics of one (shard of a) minibatch: the raw
+        *sums* whose cross-shard ``psum`` equals the full-batch statistics.
+        Returns (stats, aux); `_apply_cd_update(state, stats, N, ...)`
+        completes the parameter update."""
         k_drop, k_h0, k_chain = jax.random.split(key, 3)
         X = self._maybe_dropout(k_drop, X_batch)
 
@@ -333,40 +337,57 @@ class BaseRBM(EnergyBasedModel):
         h0_samples = self._h_layer.sample(k_h0, h0_means)
         h_states = h0_samples if self.sample_h_states else h0_means
 
-        v_states, v_means, _, h_means = self._gibbs_chain(state, h_states, k, key=k_chain)
+        v_states, v_means, _, h_means = self._gibbs_chain(state, h_states, k,
+                                                          key=k_chain)
+        stats = {
+            'assoc': X.T @ h0_means - v_states.T @ h_means,
+            'dvb_sum': jnp.sum(X - v_states, axis=0),
+            'dhb_sum': jnp.sum(h0_means - h_means, axis=0),
+            'h_sum': jnp.sum(h_means, axis=0),
+        }
+        aux = {'X': X, 'v_means': v_means}
+        return stats, aux
 
-        dtype = X.dtype
-        N = jnp.asarray(X.shape[0], dtype=dtype)
+    def _apply_cd_update(self, state, stats, N, lr, momentum):
+        """Parameter update from (possibly psum-reduced) CD statistics:
+        the reference momentum rule ``acc <- lr * (m * acc + grad);
+        param += acc`` (base_rbm.py:465-474) with L2 on dW and the EMA
+        sparsity penalty on summed hidden means (456-462)."""
+        dtype = state['W'].dtype
+        N = jnp.asarray(N, dtype=dtype)
         l2 = jnp.asarray(self.l2, dtype=dtype)
 
-        dW = (X.T @ h0_means - v_states.T @ h_means) / N - l2 * state['W']
-        dvb = jnp.mean(X - v_states, axis=0)
-        dhb = jnp.mean(h0_means - h_means, axis=0)
+        dW = stats['assoc'] / N - l2 * state['W']
+        dvb = stats['dvb_sum'] / N
+        dhb = stats['dhb_sum'] / N
 
-        # EMA sparsity penalty on summed hidden means (base_rbm.py:456-462)
         damping = jnp.asarray(self.sparsity_damping, dtype=dtype)
-        q_sum = jnp.sum(h_means, axis=0)
-        q_new = damping * state['q_means'] + (1. - damping) * q_sum
+        q_new = damping * state['q_means'] + (1. - damping) * stats['h_sum']
         penalty = jnp.asarray(self.sparsity_cost, dtype=dtype) * \
             (q_new - jnp.asarray(self.sparsity_target, dtype=dtype))
         dhb = dhb - penalty
         dW = dW - penalty  # broadcast over visible rows
 
-        # reference momentum rule: acc <- lr * (m * acc + grad); param += acc
         lr = jnp.asarray(lr, dtype=dtype)
         momentum = jnp.asarray(momentum, dtype=dtype)
         dW_acc = lr * (momentum * state['dW'] + dW)
         dvb_acc = lr * (momentum * state['dvb'] + dvb)
         dhb_acc = lr * (momentum * state['dhb'] + dhb)
 
-        new_state = {
+        return {
             'W': state['W'] + dW_acc,
             'vb': state['vb'] + dvb_acc,
             'hb': state['hb'] + dhb_acc,
             'dW': dW_acc, 'dvb': dvb_acc, 'dhb': dhb_acc,
             'q_means': q_new,
         }
-        aux = {'X': X, 'v_means': v_means}
+
+    def _cd_step(self, state, X_batch, lr, momentum, k, key):
+        """One CD-k parameter update; returns (new_state, aux) where aux
+        carries tensors needed by the metric branch."""
+        stats, aux = self._cd_stats(state, X_batch, k, key)
+        new_state = self._apply_cd_update(state, stats, X_batch.shape[0],
+                                          lr, momentum)
         return new_state, aux
 
     def _pll(self, state, X, key):
@@ -451,6 +472,137 @@ class BaseRBM(EnergyBasedModel):
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    # ------------------- sharded (shard_map) epoch --------------------- #
+    def _shardmap_eligible(self):
+        """Mesh-sharded training runs the explicit-collective shard_map
+        epoch (per-shard CD statistics + psum + replicated update) unless
+        the user forced kernel='xla', the weights are tensor-parallel, or
+        the batch does not divide the data axis.  On TPU the per-shard
+        statistics use the fused Pallas stats kernel; elsewhere the lax
+        body -- the collective structure is identical, which is what the
+        CPU-mesh tests exercise."""
+        if self._mesh is None or self.kernel == 'xla':
+            return False
+        if self._model_axis is not None:
+            return False  # tensor-parallel W stays on the GSPMD path
+        mesh, axis = self._mesh
+        return self.batch_size % mesh.shape[axis] == 0
+
+    def _pallas_stats_eligible(self, local_batch):
+        from ..layers import BernoulliLayer
+        if self.kernel == 'xla' or jax.default_backend() != 'tpu':
+            return False
+        kind, _ = self._pallas_visible_kind()
+        if kind is None or not isinstance(self._h_layer, BernoulliLayer):
+            return False
+        if self.dtype != 'float32' or self.dropout is not None:
+            return False
+        # VMEM: W + assoc (V,H each) + the local batch tile + ~6
+        # batch-sized intermediates
+        vmem = (2 * self.n_visible * self.n_hidden * 4
+                + local_batch * (3 * self.n_visible + 6 * self.n_hidden) * 4)
+        return vmem <= 96 * 1024 * 1024
+
+    def _shardmap_epoch_program(self, k):
+        """One training epoch over a data-parallel mesh as a single jitted
+        shard_map program: each shard computes CD-k sufficient statistics
+        for its rows of every minibatch (fused Pallas stats kernel on TPU,
+        lax elsewhere), the statistics are psum-reduced over ICI, and every
+        shard applies the identical parameter update -- the state stays
+        replicated without ever gathering the batch.  Semantics match the
+        single-device XLA epoch with global-batch statistics
+        (reference base_rbm.py:415-479)."""
+        from jax.sharding import PartitionSpec as P
+        mesh, axis = self._mesh
+        nsh = mesh.shape[axis]
+        every = int(self.metrics_config['train_metrics_every_iter'])
+        N_global = self.batch_size
+        V = self.n_visible
+        want_pll = bool(self.metrics_config['pll'])
+        dtype = self._jnp_dtype
+
+        stats_fn = None
+        if self._pallas_stats_eligible(N_global // nsh):
+            from ..ops.pallas_ops import make_cd_stats_kernel
+            kind, sigma = self._pallas_visible_kind()
+            stats_fn = make_cd_stats_kernel(
+                V, self.n_hidden, N_global // nsh, k,
+                sample_v_states=self.sample_v_states,
+                sample_h_states=self.sample_h_states,
+                propup_mult=self._propup_multiplier,
+                propdown_mult=self._propdown_multiplier,
+                visible=kind, sigma=sigma)
+
+        def epoch_fn(state, X_batches, lr, momentum, k_unused, key, iter0):
+            my = jax.lax.axis_index(axis)
+            seed32 = jax.random.randint(jax.random.fold_in(key, 987654321),
+                                        (), 0, 2 ** 31 - 1)
+
+            def scan_body(carry, X_batch):
+                state, it = carry
+                it = it + 1
+                step_key = jax.random.fold_in(jax.random.fold_in(key, it), my)
+                if stats_fn is not None:
+                    stats, aux = stats_fn(state, X_batch, seed32, it, my)
+                else:
+                    stats, aux = self._cd_stats(state, X_batch, k, step_key)
+                stats = jax.lax.psum(stats, axis)
+                new_state = self._apply_cd_update(state, stats, N_global,
+                                                  lr, momentum)
+
+                want = (it % every) == 0
+
+                def metric_branch(_):
+                    # local parts only -- collectives happen outside cond
+                    sq = jnp.sum(jnp.square(aux['X'] - aux['v_means']))
+                    if want_pll:
+                        mk = jax.random.fold_in(step_key, 7)
+                        B = aux['X'].shape[0]
+                        idx = jax.random.randint(mk, (B,), 0, V)
+                        rows = jnp.arange(B)
+                        flipped = aux['X'].at[rows, idx].set(
+                            1. - aux['X'][rows, idx])
+                        fe_x = self._free_energy(new_state, aux['X'],
+                                                 jax.random.fold_in(mk, 1))
+                        fe_f = self._free_energy(new_state, flipped,
+                                                 jax.random.fold_in(mk, 2))
+                    else:
+                        fe_x = fe_f = jnp.zeros((), dtype)
+                    l2c = jnp.asarray(self.l2, dtype) * 0.5 * \
+                        jnp.sum(jnp.square(new_state['W']))
+                    return (sq, fe_x, fe_f, l2c, jnp.ones((), jnp.bool_))
+
+                def zero_branch(_):
+                    z = jnp.zeros((), dtype)
+                    return (z, z, z, z, jnp.zeros((), jnp.bool_))
+
+                sq, fe_x, fe_f, l2c, flag = jax.lax.cond(
+                    want, metric_branch, zero_branch, None)
+                msre = jax.lax.psum(sq, axis) / \
+                    jnp.asarray(N_global * V, dtype)
+                if want_pll:
+                    # _pll semantics: batch-MEAN free energies (equal-sized
+                    # shards, so pmean of local means is the global mean)
+                    fe_x = jax.lax.pmean(fe_x, axis)
+                    fe_f = jax.lax.pmean(fe_f, axis)
+                    pll = jnp.asarray(V, dtype) * \
+                        jax.nn.log_sigmoid(fe_f - fe_x)
+                    pll = jnp.where(want, pll, jnp.zeros((), dtype))
+                else:
+                    pll = jnp.zeros((), dtype)
+                return (new_state, it), (msre, pll, l2c, flag)
+
+            (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
+                                                X_batches)
+            return state, it, stacked
+
+        sm = jax.shard_map(
+            epoch_fn, mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), (P(), P(), P(), P())),
+            check_vma=False)
+        return jax.jit(sm, donate_argnums=(0,))
+
     def _val_metrics_program(self):
         def val_fn(state, X_batches, k, key):
             def scan_body(i, X_batch):
@@ -519,20 +671,36 @@ class BaseRBM(EnergyBasedModel):
                 np.float32(self._v_layer.sigma), (1, self.n_visible))
         return None, None
 
+    def _pallas_hidden_kind(self):
+        """('bernoulli'|'multinomial'|None, n_samples) for the fused
+        kernel."""
+        from ..layers import BernoulliLayer, MultinomialLayer
+        if isinstance(self._h_layer, BernoulliLayer):
+            return 'bernoulli', None
+        if isinstance(self._h_layer, MultinomialLayer):
+            return 'multinomial', int(self._h_layer.n_samples)
+        return None, None
+
     def _pallas_eligible(self):
-        """The fused CD-epoch kernel covers sigmoid-hidden RBMs with
-        Bernoulli or fixed-sigma Gaussian visible units, in float32 without
-        dropout on a real TPU (single chip).  PLL needs Bernoulli visibles."""
-        from ..layers import BernoulliLayer
+        """The fused CD-epoch kernel covers sigmoid- or multinomial-hidden
+        RBMs with Bernoulli or fixed-sigma Gaussian visible units, in
+        float32 without dropout on a real TPU (single chip).  PLL needs
+        Bernoulli units on both sides."""
         if self.kernel == 'xla':
             return False
+        # a single-device mesh needs no collectives -- keep the (much
+        # faster) whole-epoch kernel; real multi-chip goes through the
+        # shard_map epoch (per-shard stats kernel + psum)
+        single_dev = self._mesh is None or \
+            (self._mesh[0].size == 1 and self._model_axis is None)
         kind, _ = self._pallas_visible_kind()
-        ok = (kind is not None
-              and isinstance(self._h_layer, BernoulliLayer)
-              and not (kind == 'gaussian' and self.metrics_config['pll'])
+        hid, _ = self._pallas_hidden_kind()
+        ok = (kind is not None and hid is not None
+              and not ((kind == 'gaussian' or hid == 'multinomial')
+                       and self.metrics_config['pll'])
               and self.dtype == 'float32'
               and self.dropout is None
-              and self._mesh is None
+              and single_dev
               and jax.default_backend() == 'tpu')
         if self.kernel == 'pallas' and not ok:
             raise ValueError('kernel="pallas" requested but the model is '
@@ -543,6 +711,7 @@ class BaseRBM(EnergyBasedModel):
         from ..ops.pallas_ops import (make_cd_epoch_kernel,
                                       make_tiled_cd_epoch_kernel)
         kind, sigma = self._pallas_visible_kind()
+        hid, n_samples = self._pallas_hidden_kind()
         common = dict(
             sample_v_states=self.sample_v_states,
             sample_h_states=self.sample_h_states,
@@ -556,19 +725,25 @@ class BaseRBM(EnergyBasedModel):
 
         # VMEM budget of the all-resident kernel: W + dW for the whole
         # epoch, plus the batch tile, ~5 batch-sized intermediates, and
-        # per-batch metric rows.
+        # per-batch metric rows.  Multinomial hidden adds the two (H, H)
+        # iota matrices of the in-kernel sampler.
         vmem = (2 * self.n_visible * self.n_hidden * 4
                 + self.batch_size * (2 * self.n_visible + 5 * self.n_hidden) * 4
                 + n_batches * 1024
                 + 12 * (self.n_visible + self.n_hidden) * 4)
+        if hid == 'multinomial':
+            vmem += 2 * self.n_hidden * self.n_hidden * 4 \
+                + self.batch_size * self.n_hidden * 4
         if vmem <= 96 * 1024 * 1024:
             return make_cd_epoch_kernel(
                 self.n_visible, self.n_hidden, self.batch_size, k,
-                compute_pll=bool(self.metrics_config['pll']), **common)
+                compute_pll=bool(self.metrics_config['pll']),
+                hidden=hid, n_samples=n_samples, **common)
 
         # big-model fallback: hidden-tiled kernel with W/dW streamed from
-        # HBM (no PLL stream -- keep XLA when PLL logging is requested)
-        if self.metrics_config['pll']:
+        # HBM (no PLL stream -- keep XLA when PLL logging is requested;
+        # multinomial needs whole softmax rows, so no tiled variant)
+        if self.metrics_config['pll'] or hid == 'multinomial':
             return None
         tile = 1024
         scratch = (2 * self.n_visible * tile * 4
@@ -777,7 +952,8 @@ class BaseRBM(EnergyBasedModel):
         self._fit_key = self.make_prng_key()
         self._init_writers()
         use_pallas = self._pallas_eligible()
-        epoch_prog = None if use_pallas else \
+        use_shardmap = (not use_pallas) and self._shardmap_eligible()
+        epoch_prog = None if (use_pallas or use_shardmap) else \
             self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
@@ -796,6 +972,11 @@ class BaseRBM(EnergyBasedModel):
                     epoch_prog = self._program('train_epoch',
                                                self._train_epoch_program)
             if train_results is None:
+                if use_shardmap:
+                    kk = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+                    epoch_prog = self._program(
+                        ('shardmap_epoch', kk),
+                        lambda kk=kk: self._shardmap_epoch_program(kk))
                 train_results = self._train_epoch(epoch_prog, step_prog, full,
                                                   rem, self._fit_key)
 

@@ -159,6 +159,68 @@ def test_tiled_cd_kernel_matches_xla_with_padding(tmp_path):
 
 
 @requires_tpu
+def test_multinomial_cd_epoch_kernel_matches_xla(tmp_path):
+    """Fused Multinomial-hidden CD epoch kernel (softmax + in-kernel
+    inverse-CDF sampler) matches the XLA path with sampling disabled."""
+    import jax.tree_util as jtu
+    from boltzmann_machines_tpu import MultinomialRBM
+    m = MultinomialRBM(n_visible=256, n_hidden=128, n_samples=64,
+                       batch_size=64, random_seed=1, sample_v_states=False,
+                       sample_h_states=False, l2=1e-4, sparsity_cost=1e-4,
+                       verbose=False, save_after_each_epoch=False,
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=2),
+                       model_path=str(tmp_path) + '/')
+    m._ensure_state()
+    X = (np.random.RandomState(0).rand(64 * 8, 256) < 0.3).astype(np.float32)
+    full, rem, nb = m._stage_batches(X)
+    s0 = jtu.tree_map(jnp.copy, m._state)
+    s1 = jtu.tree_map(jnp.copy, m._state)
+    ep_xla = m._program('train_epoch', m._train_epoch_program)
+    sx, _, _ = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
+    assert m._pallas_eligible()
+    ep_pal = m._pallas_epoch_program(1, nb)
+    assert ep_pal is not None
+    sp, _, _, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
+                                   atol=2e-3, err_msg=k)
+
+
+@requires_tpu
+def test_multinomial_kernel_sampler_distribution():
+    """The in-kernel inverse-CDF multinomial sampler is an exact
+    Multinomial(n, p): row sums, means, and variances match."""
+    from functools import partial
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from boltzmann_machines_tpu.ops.pallas_ops import \
+        _multinomial_sample_bits
+
+    B, H, S = 512, 128, 100
+    probs = np.random.RandomState(0).dirichlet(np.ones(H))
+    means = np.broadcast_to(S * probs, (B, H)).astype(np.float32).copy()
+
+    def kern(seed_ref, m_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0])
+        o_ref[:] = _multinomial_sample_bits(m_ref[:], S)
+
+    draw = pl.pallas_call(
+        kern, grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), jnp.float32))
+    S_draws = np.concatenate([
+        np.asarray(draw(jnp.asarray([seed], jnp.uint32), means))
+        for seed in (1, 2, 3, 4)])
+    assert (S_draws.sum(-1) == S).all()
+    assert np.abs(S_draws.mean(0) - S * probs).max() < 0.5
+    var_ratio = S_draws.var(0) / (S * probs * (1 - probs))
+    assert np.abs(var_ratio - 1).max() < 0.3
+
+
+@requires_tpu
 def test_dbm_sample_kernel_statistics(tmp_path):
     """Fused sample_v matches the XLA path's chain statistics."""
     from boltzmann_machines_tpu import BernoulliRBM, DBM
@@ -185,6 +247,44 @@ def test_dbm_sample_kernel_statistics(tmp_path):
     v_xla = dbm.sample_v(n_gibbs_steps=200)
     # same equilibrium statistics (different PRNG streams)
     assert abs(float(v_pal.mean()) - float(v_xla.mean())) < 0.05
+
+
+@requires_tpu
+def test_cd_stats_kernel_in_shardmap_matches_xla(tmp_path):
+    """The shard_map epoch with the Pallas per-shard stats kernel matches
+    the unsharded XLA path in deterministic mode (1-device mesh on the real
+    chip exercises the actual kernel + psum + update composition)."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.parallel import make_mesh
+    X = (np.random.RandomState(0).rand(1024, 784) < 0.3).astype(np.float32)
+    common = dict(n_visible=784, n_hidden=256, max_epoch=2, batch_size=128,
+                  random_seed=1337, verbose=False, save_after_each_epoch=False,
+                  sample_h_states=False, sample_v_states=False, l2=1e-5,
+                  metrics_config=dict(msre=True, pll=True, l2_loss=True,
+                                      train_metrics_every_iter=4))
+    r_sm = BernoulliRBM(model_path=str(tmp_path) + '/sm/', **common)
+    r_sm.set_mesh(make_mesh(shape=(1, 1)))
+    r_sm._ensure_state()
+    assert r_sm._shardmap_eligible()
+    assert r_sm._pallas_stats_eligible(128)
+    # drive the shard_map epoch program directly: on a 1-device mesh `fit`
+    # prefers the (even faster) whole-epoch kernel, but multi-chip uses this
+    full, rem, _ = r_sm._stage_batches(X)
+    sm_prog = r_sm._shardmap_epoch_program(1)
+    s_sm, it, _ = sm_prog(r_sm._state, full, 0.05, 0.9, 1,
+                          jax.random.PRNGKey(0), 0)
+
+    r_ref = BernoulliRBM(model_path=str(tmp_path) + '/ref/', kernel='xla',
+                         **common)
+    r_ref._ensure_state()
+    full_r, _, _ = r_ref._stage_batches(X)
+    xla_prog = r_ref._program('train_epoch', r_ref._train_epoch_program)
+    s_ref, _, _ = xla_prog(r_ref._state, full_r, 0.05, 0.9, 1,
+                           jax.random.PRNGKey(0), 0)
+
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb', 'q_means'):
+        np.testing.assert_allclose(np.asarray(s_sm[k]), np.asarray(s_ref[k]),
+                                   atol=2e-3, err_msg=k)
 
 
 @requires_tpu

@@ -45,14 +45,23 @@ def test_rbm_trains_on_mesh(tmp_model_dir):
                                            train_metrics_every_iter=1),
                        model_path=tmp_model_dir)
     rbm.set_mesh(mesh)
+    assert rbm._shardmap_eligible()  # default mesh path is shard_map
     rbm.fit(X)
     W = rbm.get_params_arrays('weights')['W']
     assert np.all(np.isfinite(W))
     H = rbm.transform(X)
     assert H.shape == (64, 8)
 
-    # sharded training gives the same result as unsharded (same seed, same
-    # program -- GSPMD only changes the partitioning)
+    # GSPMD path (kernel='xla'): sharded training gives the same result as
+    # unsharded -- same program, same keys, partitioning is invisible
+    rbm_g = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=2, batch_size=16,
+                         random_seed=1337, verbose=False, kernel='xla',
+                         save_after_each_epoch=False,
+                         metrics_config=dict(msre=True,
+                                             train_metrics_every_iter=1),
+                         model_path=tmp_model_dir + 'g/')
+    rbm_g.set_mesh(mesh)
+    rbm_g.fit(X)
     rbm2 = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=2, batch_size=16,
                         random_seed=1337, verbose=False,
                         save_after_each_epoch=False,
@@ -60,8 +69,91 @@ def test_rbm_trains_on_mesh(tmp_model_dir):
                                             train_metrics_every_iter=1),
                         model_path=tmp_model_dir + 'b/')
     rbm2.fit(X)
-    np.testing.assert_allclose(W, rbm2.get_params_arrays('weights')['W'],
+    np.testing.assert_allclose(rbm_g.get_params_arrays('weights')['W'],
+                               rbm2.get_params_arrays('weights')['W'],
                                atol=1e-5)
+
+
+def test_rbm_shardmap_epoch_matches_xla_deterministic(tmp_model_dir):
+    """The shard_map epoch (per-shard stats + psum + replicated update) is
+    numerically the single-device XLA epoch when sampling is disabled --
+    the equivalence that validates the kernel-path semantics on the CPU
+    mesh (the per-shard stats body is the lax twin of the Pallas stats
+    kernel, which is TPU-gated)."""
+    X = RNG(1).rand(64, 12).astype('float32')
+    cfg = dict(n_visible=12, n_hidden=8, max_epoch=2, batch_size=16,
+               random_seed=1337, verbose=False, save_after_each_epoch=False,
+               sample_h_states=False, sample_v_states=False, l2=1e-4,
+               sparsity_cost=1e-4,
+               metrics_config=dict(msre=True, pll=True, l2_loss=True,
+                                   train_metrics_every_iter=2))
+    r_sm = BernoulliRBM(model_path=tmp_model_dir, **cfg)
+    r_sm.set_mesh(make_mesh())
+    assert r_sm._shardmap_eligible()
+    r_sm.fit(X)
+
+    r_ref = BernoulliRBM(model_path=tmp_model_dir + 'b/', **cfg)
+    r_ref.fit(X)
+
+    for scope in ('weights', 'grads_accumulators'):
+        a, b = r_sm.get_params_arrays(scope), r_ref.get_params_arrays(scope)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5,
+                                       err_msg='{0}/{1}'.format(scope, k))
+
+
+def test_rbm_shardmap_sampled_learns(tmp_model_dir):
+    """Sampled-mode shard_map training (per-shard PRNG streams) learns:
+    free energy of training data drops below random data."""
+    rng = np.random.RandomState(7)
+    protos = (rng.rand(2, 16) < 0.5).astype('float32')
+    X = protos[rng.randint(0, 2, 128)]
+    rbm = BernoulliRBM(n_visible=16, n_hidden=12, max_epoch=15, batch_size=16,
+                       learning_rate=0.1, momentum=0.5, l2=0.,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       model_path=tmp_model_dir)
+    rbm.set_mesh(make_mesh())
+    rbm.fit(X)
+    fe_data = rbm.free_energy(X)
+    fe_rand = rbm.free_energy(
+        (np.random.RandomState(3).rand(128, 16) < 0.5).astype('float32'))
+    assert fe_data < fe_rand
+
+
+def test_dbm_shardmap_epoch_matches_xla_deterministic(tmp_model_dir):
+    """DBM shard_map epoch (sharded batch + sharded particles + psum'd
+    statistics + pmax'd MF predicate) equals the single-device epoch with
+    sampling disabled."""
+    X = (RNG(1).rand(64, 12) < 0.5).astype('float32')
+
+    def make(path, mesh):
+        r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True,
+                          max_epoch=1, batch_size=16, random_seed=1,
+                          verbose=False, model_path=path + 'r1/')
+        r1.fit(X)
+        r2 = BernoulliRBM(n_visible=8, n_hidden=6, dbm_last=True, max_epoch=1,
+                          batch_size=16, random_seed=2, verbose=False,
+                          model_path=path + 'r2/')
+        r2.fit(r1.transform(X))
+        dbm = DBM(rbms=[r1, r2], n_particles=16, n_gibbs_steps=2,
+                  max_mf_updates=10, learning_rate=0.01, momentum=0.5,
+                  max_epoch=2, batch_size=16, max_norm=4., random_seed=3,
+                  verbose=False, sample_v_states=False,
+                  sample_h_states=[False, False],
+                  model_path=path + 'dbm/')
+        if mesh is not None:
+            dbm.set_mesh(mesh)
+            assert dbm._shardmap_eligible()
+        dbm.fit(X)
+        return dbm
+
+    d_sm = make(tmp_model_dir, make_mesh())
+    d_ref = make(tmp_model_dir + 'b/', None)
+    a = d_sm.get_params_arrays('weights')
+    b = d_ref.get_params_arrays('weights')
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
 
 
 def test_rbm_model_parallel(tmp_model_dir):
