@@ -5,8 +5,20 @@ Reference baseline (BASELINE.md): examples/rbm_mnist.py trains 784x1024
 CD-1 on 55k samples for 120 epochs in ~38 min on a GTX 1060, i.e.
 55000 * 120 / 2280 s ~= 2895 samples/sec (one Gibbs sweep + update each).
 
-Here one *epoch* is a single jitted lax.scan over the dataset on-device.
-Prints one JSON line: samples/sec through the full CD-1 training step.
+Two configurations are measured:
+
+* headline: batch 256, metrics off -- the hot-loop capability number
+  (one jitted/fused epoch per dispatch);
+* ref_config: the reference's own training configuration -- batch 10 with
+  PLL/MSRE logged every 1000 iterations (rbm_mnist.py batch_size=10) --
+  so cross-round perf claims stay configuration-honest.
+
+MFU = model FLOPs/s / chip peak.  CD-1 runs 5 (B, V)x(V, H) matmuls per
+step (propup x2, propdown, positive+negative associations), i.e.
+10*V*H FLOP per sample, evaluated in float32; the peak used is the
+v5e bf16 figure (197 TFLOP/s), the canonical per-chip peak.
+
+Prints ONE JSON line with the headline metric plus the auxiliary fields.
 """
 
 import json
@@ -15,66 +27,74 @@ import time
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 55000. * 120. / (38. * 60.)
+V5E_PEAK_FLOPS = 197e12
+V, H = 784, 1024
+FLOP_PER_SAMPLE = 10. * V * H
 
 
-def main():
+def _sync(jnp, state):
+    # force a real device sync via scalar readback: on some remote
+    # backends block_until_ready returns before execution completes
+    return float(jnp.sum(jnp.abs(state['W'])))
+
+
+def measure(batch_size, n_samples, n_epochs, metrics_config):
     import jax
     import jax.numpy as jnp
     from boltzmann_machines_tpu import BernoulliRBM
 
-    batch_size = 256
-    n_samples = 55296  # 216 full batches
-    rbm = BernoulliRBM(n_visible=784, n_hidden=1024, n_gibbs_steps=1,
-                       learning_rate=0.05, momentum=0.9, batch_size=batch_size,
-                       l2=1e-5, random_seed=1337, verbose=False,
-                       save_after_each_epoch=False,
-                       metrics_config=dict(train_metrics_every_iter=10 ** 9),
-                       model_path='/tmp/bench_rbm/')
+    rbm = BernoulliRBM(n_visible=V, n_hidden=H, n_gibbs_steps=1,
+                       learning_rate=0.05, momentum=0.9,
+                       batch_size=batch_size, l2=1e-5, random_seed=1337,
+                       verbose=False, save_after_each_epoch=False,
+                       metrics_config=metrics_config,
+                       model_path='/tmp/bench_rbm_%d/' % batch_size)
     rbm._ensure_state()
 
     rng = np.random.RandomState(0)
-    X = (rng.rand(n_samples, 784) < 0.3).astype(np.float32)
+    X = (rng.rand(n_samples, V) < 0.3).astype(np.float32)
     full, rem, n_full = rbm._stage_batches(X)
     assert rem is None
 
     use_pallas = rbm._pallas_eligible()
-    if use_pallas:
-        prog = rbm._pallas_epoch_program(1, n_full)
-        use_pallas = prog is not None
-
+    prog = rbm._pallas_epoch_program(1, n_full) if use_pallas else None
     key = jax.random.PRNGKey(0)
 
     def run_epoch(state, i):
-        if use_pallas:
-            state = prog(state, full, 0.05, 0.9, i + 1, 0)[0]
-        else:
-            xprog = rbm._program('train_epoch', rbm._train_epoch_program)
-            state, _, _ = xprog(state, full, 0.05, 0.9, 1,
-                                jax.random.fold_in(key, i), 0)
-        return state
+        if prog is not None:
+            return prog(state, full, 0.05, 0.9, i + 1, 0)[0]
+        xprog = rbm._program('train_epoch', rbm._train_epoch_program)
+        return xprog(state, full, 0.05, 0.9, 1,
+                     jax.random.fold_in(key, i), 0)[0]
 
-    def sync(state):
-        # force a real device sync via scalar readback: on some remote
-        # backends block_until_ready returns before execution completes
-        return float(jnp.sum(jnp.abs(state['W'])))
-
-    # warmup / compile
-    state = run_epoch(rbm._state, 0)
-    sync(state)
-
-    n_epochs = 20
+    state = run_epoch(rbm._state, 0)   # warmup / compile
+    _sync(jnp, state)
     t0 = time.perf_counter()
     for i in range(1, n_epochs + 1):
         state = run_epoch(state, i)
-    sync(state)
+    _sync(jnp, state)
     dt = time.perf_counter() - t0
+    return n_samples * n_epochs / dt
 
-    samples_per_sec = n_samples * n_epochs / dt
+
+def main():
+    headline = measure(batch_size=256, n_samples=55296, n_epochs=20,
+                       metrics_config=dict(train_metrics_every_iter=10 ** 9))
+    # the reference's own configuration (rbm_mnist.py: batch 10, metrics
+    # logged every 1000 iterations)
+    ref_cfg = measure(batch_size=10, n_samples=55000, n_epochs=2,
+                      metrics_config=dict(msre=True, pll=True,
+                                          train_metrics_every_iter=1000))
+    mfu = headline * FLOP_PER_SAMPLE / V5E_PEAK_FLOPS
     print(json.dumps({
         'metric': 'rbm_mnist_cd1_train_samples_per_sec',
-        'value': round(samples_per_sec, 1),
+        'value': round(headline, 1),
         'unit': 'samples/s',
-        'vs_baseline': round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+        'vs_baseline': round(headline / BASELINE_SAMPLES_PER_SEC, 2),
+        'mfu': round(mfu, 4),
+        'ref_config_batch10_samples_per_sec': round(ref_cfg, 1),
+        'ref_config_batch10_vs_baseline':
+            round(ref_cfg / BASELINE_SAMPLES_PER_SEC, 2),
     }))
 
 

@@ -948,6 +948,30 @@ class BaseRBM(EnergyBasedModel):
                                     self.display_filters)
             self._train_writer.add_image('W_filters', img, self.iter_)
 
+    def _write_hidden_activations(self, full, rem):
+        """(batch x display_hidden_activations) image of the chain-end
+        hidden activation means of one minibatch -- reference
+        base_rbm.py:429-435 streams this with the merged train summaries;
+        here it follows the same logged-step cadence (once per epoch that
+        logged train metrics)."""
+        if full.shape[0]:
+            probe = full[0]
+        elif rem is not None:
+            probe = rem
+        else:
+            return
+        prog = self._program('transform', self._transform_program)
+        k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
+        key = jax.random.fold_in(self._fit_key, 300000 + self.epoch_)
+        h = np.asarray(prog(self._state, probe, k, key))
+        h = h[:, :self.display_hidden_activations]
+        mx = float(h.max())
+        if mx > 1.:  # e.g. multinomial expected counts
+            h = h / mx
+        img = (np.clip(h, 0., 1.) * 255.).astype(np.uint8)
+        self._train_writer.add_image('hidden_activation_means', img,
+                                     self.iter_)
+
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
         self._init_writers()
@@ -995,6 +1019,8 @@ class BaseRBM(EnergyBasedModel):
                 host_state = jax.device_get(self._state)
             if train_results:
                 self._write_epoch_summaries(host_state)
+                if self.display_hidden_activations:
+                    self._write_hidden_activations(full, rem)
             for m, v in train_results.items():
                 self._train_writer.add_scalar(self._metrics_names_map[m], v,
                                               self.iter_)

@@ -1,0 +1,88 @@
+"""Coverage for the auxiliary runtime surface: profiler traces,
+jax.distributed initialization, and hidden-activation image summaries."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+
+from boltzmann_machines_tpu.utils import profiler
+
+
+def test_profiler_trace_writes_events(tmp_path):
+    """`profiler.trace` captures a device trace viewable in TB/Perfetto."""
+    import jax.numpy as jnp
+    logdir = str(tmp_path / 'prof')
+    with profiler.trace(logdir):
+        x = jnp.ones((128, 128))
+        float(jnp.sum(x @ x))
+    found = []
+    for root, _, files in os.walk(logdir):
+        found += [os.path.join(root, f) for f in files]
+    assert found, 'profiler trace produced no files'
+    assert any(os.path.getsize(f) > 0 for f in found)
+
+
+def test_profiler_annotate_and_timer():
+    import jax.numpy as jnp
+    t = profiler.StepTimer()
+    with profiler.annotate('step'):
+        t.start()
+        x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        dt = t.stop(sync_value=x)
+    assert dt >= 0.
+    assert t.mean() >= 0.
+
+
+def test_distributed_single_process_smoke():
+    """`parallel.distributed.initialize` brings up a one-process
+    coordination service (run in a subprocess: jax.distributed can only be
+    initialized once per process)."""
+    code = r'''
+import os
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from boltzmann_machines_tpu.parallel import distributed
+info = distributed.initialize(coordinator_address='localhost:43219',
+                              num_processes=1, process_id=0)
+assert info['process_index'] == 0
+assert info['process_count'] == 1
+assert info['global_devices'] >= 1
+start, stop = distributed.process_local_slice(10)
+assert (start, stop) == (0, 10)
+print('DIST_OK')
+'''
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('BMT_TEST_TPU', None)
+    out = subprocess.run([sys.executable, '-c', code], env=env,
+                         capture_output=True, text=True, timeout=180,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert 'DIST_OK' in out.stdout, out.stderr[-2000:]
+
+
+def test_hidden_activation_image_summary(tmp_model_dir):
+    """display_hidden_activations streams a (batch x n) activation image
+    with the train summaries (reference base_rbm.py:429-435)."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.utils.rng import RNG
+    X = RNG(1).rand(32, 12).astype('float32')
+    rbm = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=1, batch_size=16,
+                       random_seed=1, verbose=False,
+                       display_hidden_activations=6,
+                       save_after_each_epoch=False,
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=1),
+                       model_path=tmp_model_dir)
+    rbm.fit(X)
+    logdir = rbm._train_summary_dirpath
+    events = [p for p in os.listdir(logdir) if p.startswith('events')]
+    assert events
+    with open(os.path.join(logdir, events[0]), 'rb') as f:
+        data = f.read()
+    assert b'hidden_activation_means' in data
+    assert b'\x89PNG' in data
