@@ -40,6 +40,28 @@ from .utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
                     log_sum_exp, log_diff_exp, log_mean_exp, log_std_exp)
 
 
+def make_beta_schedule(n_betas, kind='linear'):
+    """Inverse-temperature ladder (length n_betas + 1, 0 -> 1) for AIS.
+
+    'linear' is the reference's uniform spacing (dbm.py:696-736).
+    'adaptive' allocates betas the way Salakhutdinov & Murray (2008)
+    do for their large runs -- sparse early, dense near beta = 1 where the
+    importance-weight variance concentrates (~3.5% of betas on [0, 0.5),
+    ~27.5% on [0.5, 0.9), ~69% on [0.9, 1]) -- which tightens the estimate
+    on peaked models at equal cost."""
+    if kind == 'linear':
+        return np.linspace(0., 1., n_betas + 1)
+    if kind != 'adaptive':
+        raise ValueError("beta_schedule must be 'linear' or 'adaptive'")
+    n1 = max(int(round(0.035 * n_betas)), 1)
+    n3 = max(int(round(0.69 * n_betas)), 1)
+    n2 = max(n_betas - n1 - n3, 1)
+    return np.concatenate([
+        np.linspace(0., 0.5, n1, endpoint=False),
+        np.linspace(0.5, 0.9, n2, endpoint=False),
+        np.linspace(0.9, 1., n3 + 1)])
+
+
 class DBM(EnergyBasedModel):
     """Deep Boltzmann Machine trained by PCD with mean-field inference.
 
@@ -725,16 +747,22 @@ class DBM(EnergyBasedModel):
         return jax.jit(sample_fn, donate_argnums=(0,))
 
     # ---------------------------- AIS --------------------------------- #
-    def _ais_unnorm_log_prob_h1(self, state, x, beta):
-        """log p~_beta on h1 with v, h2 summed out (dbm.py:650-660)."""
+    def _ais_unnorm_log_prob_h1(self, state, x, beta, b0=None):
+        """log p~_beta on h1 with v, h2 summed out (dbm.py:650-660).
+
+        With a base-rate bias `b0`, the geometric path interpolates from
+        p0(h1) propto exp(h1.b0) instead of the uniform distribution
+        (Salakhutdinov & Murray 2008): an extra (1-beta) * (x.b0) term."""
         log_p = beta * (x @ state['hb'][0])
+        if b0 is not None:
+            log_p += (1. - beta) * (x @ b0)
         T2 = x @ state['W'][0].T + state['vb']
         log_p += jnp.sum(jax.nn.softplus(beta * T2), axis=1)
         T3 = x @ state['W'][1] + state['hb'][1]
         log_p += jnp.sum(jax.nn.softplus(beta * T3), axis=1)
         return log_p
 
-    def _ais_transition(self, state, x, beta, k, key):
+    def _ais_transition(self, state, x, beta, k, key, b0=None):
         """k-step tempered Gibbs transition on h1 (dbm.py:662-694)."""
         def body(i, x):
             ki = jax.random.fold_in(key, i)
@@ -748,42 +776,61 @@ class DBM(EnergyBasedModel):
             if self.sample_h_states[1]:
                 h2 = self._h_layers[1].sample(k2, h2)
             T = v @ state['W'][0] + h2 @ state['W'][1].T
-            x_hat = self._h_layers[0].activation(beta * T,
-                                                 beta * state['hb'][0])
+            bias = beta * state['hb'][0]
+            if b0 is not None:
+                bias = bias + (1. - beta) * b0
+            x_hat = self._h_layers[0].activation(beta * T, bias)
             if self.sample_h_states[0]:
                 x_hat = self._h_layers[0].sample(kx, x_hat)
             return x_hat
         return jax.lax.fori_loop(0, k, body, x)
 
-    def _ais_program(self, n_betas):
-        """Annealed importance sampling over `n_betas` intermediate
-        distributions, all `n_runs` chains vectorized (dbm.py:696-736)."""
+    def _ais_program(self, betas, base_rate=None):
+        """Annealed importance sampling along the inverse-temperature
+        ladder `betas` (ascending, betas[0]=0, betas[-1]=1), all `n_runs`
+        chains vectorized (dbm.py:696-736).  Non-uniform ladders and a
+        base-rate p0 are this framework's robustness extensions (the
+        reference supports only the uniform/uniform combination)."""
+        betas = np.asarray(betas, dtype=np.float64)
+        assert betas[0] == 0. and betas[-1] == 1. and len(betas) >= 2
+        M = len(betas) - 1
+
         def ais_fn(state, k, key, x0):
             dtype = x0.dtype
-            delta_beta = jnp.asarray(1. / n_betas, dtype=dtype)
+            b0 = (None if base_rate is None
+                  else jnp.asarray(base_rate, dtype=dtype))
+            bts = jnp.asarray(betas, dtype=dtype)
 
-            x1 = self._ais_transition(state, x0, delta_beta, k,
-                                      jax.random.fold_in(key, 0))
-            log_Z = -self._ais_unnorm_log_prob_h1(state, x1, 0.)
-
-            betas = (jnp.arange(1, n_betas, dtype=dtype) / n_betas)
+            x1 = self._ais_transition(state, x0, bts[1], k,
+                                      jax.random.fold_in(key, 0), b0=b0)
+            log_Z = -self._ais_unnorm_log_prob_h1(state, x1, 0., b0=b0)
 
             def scan_body(carry, inp):
                 log_Z, x = carry
-                i, beta = inp
-                log_Z = log_Z + self._ais_unnorm_log_prob_h1(state, x, beta)
-                x_new = self._ais_transition(state, x, beta + delta_beta, k,
-                                             jax.random.fold_in(key, i))
-                log_Z = log_Z - self._ais_unnorm_log_prob_h1(state, x_new, beta)
+                i, beta, beta_next = inp
+                log_Z = log_Z + self._ais_unnorm_log_prob_h1(state, x, beta,
+                                                             b0=b0)
+                x_new = self._ais_transition(state, x, beta_next, k,
+                                             jax.random.fold_in(key, i),
+                                             b0=b0)
+                log_Z = log_Z - self._ais_unnorm_log_prob_h1(state, x_new,
+                                                             beta, b0=b0)
                 return (log_Z, x_new), None
 
-            idx = jnp.arange(1, n_betas)
-            (log_Z, x_M), _ = jax.lax.scan(scan_body, (log_Z, x1),
-                                           (idx, betas))
-            log_Z = log_Z + self._ais_unnorm_log_prob_h1(state, x_M, 1.)
-            log_Z0 = (self.n_visible_ + self.n_hiddens_[0] +
-                      self.n_hiddens_[1]) * np.log(2.)
-            return log_Z + jnp.asarray(log_Z0, dtype=dtype)
+            idx = jnp.arange(1, M)
+            (log_Z, x_M), _ = jax.lax.scan(
+                scan_body, (log_Z, x1), (idx, bts[1:M], bts[2:M + 1]))
+            log_Z = log_Z + self._ais_unnorm_log_prob_h1(state, x_M, 1.,
+                                                         b0=b0)
+            # log Z0 of the base distribution: v and h2 stay uniform
+            # (softplus(0) = log 2 per unit); h1 contributes sum softplus(b0)
+            # (= H1 * log 2 for the uniform b0 = 0 base)
+            log_Z0 = (self.n_visible_ + self.n_hiddens_[1]) * np.log(2.)
+            if base_rate is None:
+                log_Z0 += self.n_hiddens_[0] * np.log(2.)
+                return log_Z + jnp.asarray(log_Z0, dtype=dtype)
+            return log_Z + jnp.asarray(log_Z0, dtype=dtype) + \
+                jnp.sum(jax.nn.softplus(jnp.asarray(base_rate, dtype=dtype)))
         return jax.jit(ais_fn)
 
     def _log_proba_program(self):
@@ -1042,9 +1089,16 @@ class DBM(EnergyBasedModel):
             self._save_model()
         return v
 
-    def log_Z(self, n_betas=100, n_runs=100, n_gibbs_steps=5):
+    def log_Z(self, n_betas=100, n_runs=100, n_gibbs_steps=5,
+              beta_schedule='linear', base_rate=None):
         """AIS estimate of the log partition function for a 2-layer binary
         DBM: anneal on h1 with v, h2 summed out (dbm.py:899-939).
+
+        Robustness extensions beyond the reference (both default OFF for
+        parity): `beta_schedule='adaptive'` uses the Salakhutdinov-Murray
+        ladder (dense near beta = 1); `base_rate` anneals from a
+        non-uniform base p0(h1) propto exp(h1 . b0) -- pass an (H1,) array
+        or 'hidden_bias' to use the model's own first hidden biases.
 
         Returns (log_mean, (log_low, log_high), values) where low/high are
         log(Z_mean -+ std(Z))."""
@@ -1053,14 +1107,27 @@ class DBM(EnergyBasedModel):
         for L in [self._v_layer] + self._h_layers:
             assert isinstance(L, BernoulliLayer)
 
+        if isinstance(base_rate, str):
+            if base_rate != 'hidden_bias':
+                raise ValueError("base_rate must be an array, None, or "
+                                 "'hidden_bias'")
+            base_rate = np.asarray(jax.device_get(self._state['hb'][0]))
+        elif base_rate is not None:
+            base_rate = np.asarray(base_rate, dtype=self._np_dtype)
+
         key = self.make_prng_key()
         k0, key = jax.random.split(key)
+        if base_rate is None:
+            p0 = 0.5
+        else:  # draw x0 from the base-rate distribution itself
+            p0 = jax.nn.sigmoid(jnp.asarray(base_rate, self._jnp_dtype))
         x0 = (jax.random.uniform(k0, (n_runs, self.n_hiddens_[0]),
-                                 dtype=self._jnp_dtype) < 0.5) \
+                                 dtype=self._jnp_dtype) < p0) \
             .astype(self._jnp_dtype)
 
         use_pallas = (self.kernel != 'xla' and self.dtype == 'float32'
                       and self._mesh is None and n_runs % 8 == 0
+                      and beta_schedule == 'linear' and base_rate is None
                       and jax.default_backend() == 'tpu')
         if use_pallas:
             from .ops.pallas_dbm import make_ais_kernel
@@ -1077,8 +1144,12 @@ class DBM(EnergyBasedModel):
                       self.n_hiddens_[1]) * np.log(2.)
             values = np.asarray(prog(self._state, seed, x0)) + log_Z0
         else:
-            prog = self._program('ais_{0}'.format(n_betas),
-                                 lambda: self._ais_program(n_betas))
+            betas = make_beta_schedule(n_betas, beta_schedule)
+            cache_key = ('ais', n_betas, beta_schedule,
+                         None if base_rate is None
+                         else hash(base_rate.tobytes()))
+            prog = self._program(cache_key,
+                                 lambda: self._ais_program(betas, base_rate))
             x0 = self._put(x0)
             values = np.asarray(prog(self._state, int(n_gibbs_steps), key, x0))
 

@@ -159,6 +159,40 @@ def test_ais_matches_bruteforce(trained):
     assert log_low <= log_mean <= log_high
 
 
+def test_beta_schedule_shapes():
+    from boltzmann_machines_tpu.dbm import make_beta_schedule
+    lin = make_beta_schedule(100, 'linear')
+    assert len(lin) == 101 and lin[0] == 0. and lin[-1] == 1.
+    ada = make_beta_schedule(1000, 'adaptive')
+    assert len(ada) == 1001 and ada[0] == 0. and ada[-1] == 1.
+    assert np.all(np.diff(ada) > 0)
+    # dense near beta=1: over half the ladder sits in [0.9, 1]
+    assert (ada >= 0.9).mean() > 0.5
+    with pytest.raises(ValueError):
+        make_beta_schedule(10, 'quadratic')
+
+
+def test_ais_adaptive_schedule_and_base_rate_match_bruteforce(trained):
+    """The robustness extensions (adaptive beta ladder, base-rate p0) stay
+    unbiased: both hit the enumerated log Z on the tiny model."""
+    dbm, _ = trained
+    exact = exact_log_Z(dbm)
+
+    log_mean, _, values = dbm.log_Z(n_betas=200, n_runs=64, n_gibbs_steps=1,
+                                    beta_schedule='adaptive')
+    assert values.shape == (64,)
+    assert abs(log_mean - exact) < 0.1
+
+    log_mean_br, _, _ = dbm.log_Z(n_betas=200, n_runs=64, n_gibbs_steps=1,
+                                  base_rate='hidden_bias')
+    assert abs(log_mean_br - exact) < 0.1
+
+    b0 = np.zeros(H1, dtype=np.float32)  # explicit uniform base = default
+    log_mean_u, _, _ = dbm.log_Z(n_betas=200, n_runs=64, n_gibbs_steps=1,
+                                 base_rate=b0)
+    assert abs(log_mean_u - exact) < 0.1
+
+
 def test_log_proba_is_lower_bound(trained, data):
     """The variational bound minus exact log Z must lower-bound the exact
     marginal log-likelihood."""
