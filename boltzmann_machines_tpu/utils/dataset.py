@@ -9,6 +9,7 @@ Layout converters use the reference's channel-major flattening so learned
 filters are binary-compatible for visualization.
 """
 
+import os
 import os.path
 import pickle
 import struct
@@ -18,7 +19,35 @@ import numpy as np
 from .rng import RNG
 
 
-def load_mnist(mode='train', path='.'):
+def resolve_data_dir(path=None):
+    """Data-root resolution: explicit argument > BMT_DATA_DIR environment
+    variable > the repository's data/ directory.  The env hook lets the
+    bench/CI driver point every loader, example, and quality-parity test
+    at an offline dataset mirror without touching any call site."""
+    if path:
+        return path
+    env = os.environ.get('BMT_DATA_DIR')
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), 'data')
+
+
+def real_mnist_available(path=None):
+    """True when the *genuine* MNIST IDX files are on disk: the first five
+    training labels are 5, 0, 4, 1, 9, which distinguishes the real dataset
+    from synthetic stand-ins written in the same IDX format."""
+    try:
+        dirpath = os.path.join(resolve_data_dir(path), 'mnist/')
+        with open(os.path.join(dirpath, 'train-labels-idx1-ubyte'), 'rb') as f:
+            f.read(8)
+            first = np.frombuffer(f.read(5), np.uint8)
+        return list(first) == [5, 0, 4, 1, 9]
+    except (IOError, OSError, ValueError):
+        return False
+
+
+def load_mnist(mode='train', path=None):
     """Load MNIST from raw IDX files.
 
     Returns
@@ -26,7 +55,7 @@ def load_mnist(mode='train', path='.'):
     data : (n_samples, 784) np.ndarray, raw intensities in [0., 255.]
     target : (n_samples,) np.ndarray, zero-based integer labels
     """
-    dirpath = os.path.join(path, 'mnist/')
+    dirpath = os.path.join(resolve_data_dir(path), 'mnist/')
     if mode == 'train':
         fname_data = os.path.join(dirpath, 'train-images-idx3-ubyte')
         fname_target = os.path.join(dirpath, 'train-labels-idx1-ubyte')
@@ -58,7 +87,7 @@ def load_mnist(mode='train', path='.'):
     return data.astype(float), target.astype(np.int32)
 
 
-def load_cifar10(mode='train', path='.'):
+def load_cifar10(mode='train', path=None):
     """Load CIFAR-10 from python pickle batches.
 
     Returns
@@ -66,7 +95,7 @@ def load_cifar10(mode='train', path='.'):
     data : (n_samples, 3072) np.ndarray, raw intensities in [0., 255.]
     target : (n_samples,) np.ndarray, zero-based integer labels
     """
-    dirpath = os.path.join(path, 'cifar-10-batches-py/')
+    dirpath = os.path.join(resolve_data_dir(path), 'cifar-10-batches-py/')
     batch_size = 10000
     if mode == 'train':
         fnames = ['data_batch_{0}'.format(i) for i in range(1, 6)]

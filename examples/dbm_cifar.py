@@ -356,7 +356,8 @@ def main():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument('--n-train', type=int, default=49000)
     parser.add_argument('--n-val', type=int, default=1000)
-    parser.add_argument('--data-path', type=str, default='../data/')
+    parser.add_argument('--data-path', type=str, default=None,
+                        help='data root (default: BMT_DATA_DIR or repo data/)')
     parser.add_argument('--no-aug', action='store_true')
     parser.add_argument('--small-lr', type=float, default=1e-3, nargs='+')
     parser.add_argument('--small-epochs', type=int, default=100)

@@ -212,7 +212,8 @@ def main():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument('--n-train', type=int, default=49000)
     parser.add_argument('--n-val', type=int, default=1000)
-    parser.add_argument('--data-path', type=str, default='../data/')
+    parser.add_argument('--data-path', type=str, default=None,
+                        help='data root (default: BMT_DATA_DIR or repo data/)')
     parser.add_argument('--n-gibbs-steps', type=int, default=(1, 1, 1), nargs='+')
     parser.add_argument('--lr', type=float, default=(5e-4, 1e-4, 8e-5), nargs='+')
     parser.add_argument('--epochs', type=int, default=(120, 180, 1500), nargs='+')

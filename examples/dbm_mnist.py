@@ -189,7 +189,8 @@ def main():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument('--n-train', type=int, default=59000)
     parser.add_argument('--n-val', type=int, default=1000)
-    parser.add_argument('--data-path', type=str, default='../data/')
+    parser.add_argument('--data-path', type=str, default=None,
+                        help='data root (default: BMT_DATA_DIR or repo data/)')
     parser.add_argument('--increase-n-gibbs-steps-every', type=int, default=20)
     parser.add_argument('--n-hiddens', type=int, default=(512, 1024), nargs='+')
     parser.add_argument('--n-gibbs-steps', type=int, default=(1, 1, 1), nargs='+')

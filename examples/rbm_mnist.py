@@ -130,7 +130,8 @@ def main():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument('--n-train', type=int, default=55000)
     parser.add_argument('--n-val', type=int, default=5000)
-    parser.add_argument('--data-path', type=str, default='../data/')
+    parser.add_argument('--data-path', type=str, default=None,
+                        help='data root (default: BMT_DATA_DIR or repo data/)')
     parser.add_argument('--n-hidden', type=int, default=1024)
     parser.add_argument('--w-init', type=float, default=0.01)
     parser.add_argument('--vb-init', action='store_false')
