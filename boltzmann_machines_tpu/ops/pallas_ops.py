@@ -52,10 +52,21 @@ def _normal_from_bits(shape):
 
 
 # ---------------------------------------------------------------------- #
-# standalone Bernoulli sampler                                            #
+# standalone samplers (hardware PRNG, callable from any XLA program)      #
 # ---------------------------------------------------------------------- #
+def _seed_words(seed):
+    """Normalize `seed` -- a scalar, a (2,) raw uint32 PRNG key, or a typed
+    key array -- into a (2,) uint32 vector for `pltpu.prng_seed`."""
+    if hasattr(seed, 'dtype') and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
+        seed = jax.random.key_data(seed)
+    seed = jnp.asarray(seed)
+    if seed.ndim == 0:
+        return jnp.stack([seed.astype(jnp.uint32), jnp.uint32(0)])
+    return seed.reshape(-1)[:2].astype(jnp.uint32)
+
+
 def _bernoulli_kernel(seed_ref, p_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0).astype(jnp.uint32))
     u = _uniform_bits(p_ref.shape)
     out_ref[:] = (u < p_ref[:]).astype(p_ref.dtype)
 
@@ -63,7 +74,8 @@ def _bernoulli_kernel(seed_ref, p_ref, out_ref):
 def bernoulli_sample(seed, probs):
     """Draw Bernoulli states with the TPU hardware PRNG.
 
-    seed : scalar uint32 (traced ok); probs : (B, N) float32.
+    seed : scalar / (2,) uint32 / PRNG key (traced ok);
+    probs : (B, N) float32.
     """
     return pl.pallas_call(
         _bernoulli_kernel,
@@ -72,7 +84,44 @@ def bernoulli_sample(seed, probs):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(jnp.asarray(seed, jnp.uint32).reshape(1), probs)
+    )(_seed_words(seed), probs)
+
+
+def _normal_kernel(seed_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0], seed_ref[1])
+    out_ref[:] = _normal_from_bits(out_ref.shape)
+
+
+def normal_sample(seed, shape, dtype=jnp.float32):
+    """(B, N) standard normals from the TPU hardware PRNG (Box-Muller)."""
+    return pl.pallas_call(
+        _normal_kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(_seed_words(seed))
+
+
+def multinomial_sample(seed, means, n_samples):
+    """Exact per-row Multinomial(n_samples, means / n_samples) counts with
+    the TPU hardware PRNG (see `_multinomial_sample_bits`).
+
+    means : (B, H) expected counts (rows summing to ~n_samples)."""
+    def kern(seed_ref, m_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        out_ref[:] = _multinomial_sample_bits(m_ref[:], n_samples)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(means.shape, means.dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(_seed_words(seed), means)
 
 
 # ---------------------------------------------------------------------- #

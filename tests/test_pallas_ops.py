@@ -80,6 +80,26 @@ def test_bernoulli_sample_statistics():
     # different seeds give different draws
     s2 = np.asarray(bernoulli_sample(54321, p))
     assert not np.array_equal(s, s2)
+    # PRNG keys are accepted as seeds (2-word seeding)
+    s3 = np.asarray(bernoulli_sample(jax.random.PRNGKey(7), p))
+    assert abs(s3.mean() - 0.3) < 0.01
+
+
+@requires_tpu
+def test_normal_and_multinomial_sampler_ops():
+    """Standalone hardware-PRNG sampler ops: distributions check out."""
+    from boltzmann_machines_tpu.ops.pallas_ops import (normal_sample,
+                                                       multinomial_sample)
+    z = np.asarray(normal_sample(jnp.uint32(3), (2048, 256)))
+    assert abs(z.mean()) < 0.01
+    assert abs(z.std() - 1.) < 0.01
+    assert abs(np.mean(z < -1.) - 0.1587) < 0.01  # Phi(-1)
+
+    probs = np.random.RandomState(0).dirichlet(np.ones(64))
+    means = np.broadcast_to(100 * probs, (512, 64)).astype(np.float32).copy()
+    c = np.asarray(multinomial_sample(jnp.uint32(5), means, 100))
+    assert (c.sum(-1) == 100).all()
+    assert np.abs(c.mean(0) - 100 * probs).max() < 1.0
 
 
 @requires_tpu
