@@ -81,6 +81,7 @@ class DBM(EnergyBasedModel):
                  sparsity_target=0.1, sparsity_cost=0., sparsity_damping=0.9,
                  train_metrics_every_iter=10, val_metrics_every_epoch=1,
                  verbose=False, save_after_each_epoch=True,
+                 checkpoint_every_epoch=1, summaries_every_epoch=1,
                  display_filters=0, display_particles=0, v_shape=(28, 28),
                  kernel='auto', model_path='dbm_model/', *args, **kwargs):
         super(DBM, self).__init__(model_path=model_path, *args, **kwargs)
@@ -124,6 +125,10 @@ class DBM(EnergyBasedModel):
         self.val_metrics_every_epoch = val_metrics_every_epoch
         self.verbose = verbose
         self.save_after_each_epoch = save_after_each_epoch
+        # host-fetch cadences (see BaseRBM): 1 = reference's every-epoch
+        # behavior; fit() always saves the final state regardless
+        self.checkpoint_every_epoch = int(checkpoint_every_epoch)
+        self.summaries_every_epoch = int(summaries_every_epoch)
 
         for nh in self.n_hiddens_:
             assert nh >= display_filters
@@ -919,6 +924,8 @@ class DBM(EnergyBasedModel):
             self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
+        # stage the validation set once (uploads dominate on remote links)
+        staged_val = self._stage_batches(X_val) if X_val is not None else None
 
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
@@ -972,14 +979,18 @@ class DBM(EnergyBasedModel):
             val_msre = val_n_mf = None
             if X_val is not None and \
                     self.epoch_ % self.val_metrics_every_epoch == 0:
-                val_msre, val_n_mf = self._run_val_metrics(X_val)
+                val_msre, val_n_mf = self._run_val_metrics(staged_val)
 
             # one host fetch per epoch, shared by summaries and checkpoint;
             # histograms/images only when a train step was logged this epoch
+            want_summaries = train_msre is not None and \
+                self.epoch_ % self.summaries_every_epoch == 0
+            want_ckpt = self.save_after_each_epoch and \
+                self.epoch_ % self.checkpoint_every_epoch == 0
             host_state = None
-            if train_msre is not None or self.save_after_each_epoch:
+            if want_summaries or want_ckpt:
                 host_state = jax.device_get(self._state)
-            if train_msre is not None:
+            if want_summaries:
                 self._write_epoch_summaries(host_state)
             if train_msre is not None:
                 self._train_writer.add_scalar('mean_squared_recon_error',
@@ -1009,13 +1020,13 @@ class DBM(EnergyBasedModel):
                     s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
                 write_during_training(s)
 
-            if self.save_after_each_epoch:
+            if want_ckpt:
                 self._save_model(global_step=self.epoch_,
                                  arrays=self._get_state_arrays(host_state))
 
-    def _run_val_metrics(self, X_val):
+    def _run_val_metrics(self, staged_val):
         prog = self._program('val', self._val_metrics_program)
-        full, rem, _ = self._stage_batches(X_val)
+        full, rem, _ = staged_val
         msres, n_mfs = [], []
         if full.shape[0]:
             m, n = prog(self._state, full)

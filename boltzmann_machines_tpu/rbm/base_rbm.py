@@ -68,6 +68,7 @@ class BaseRBM(EnergyBasedModel):
                  sparsity_target=0.1, sparsity_cost=0., sparsity_damping=0.9,
                  dbm_first=False, dbm_last=False,
                  metrics_config=None, verbose=True, save_after_each_epoch=True,
+                 checkpoint_every_epoch=1, summaries_every_epoch=1,
                  display_filters=0, display_hidden_activations=0,
                  v_shape=(28, 28), kernel='auto',
                  model_path='rbm_model/', *args, **kwargs):
@@ -142,6 +143,12 @@ class BaseRBM(EnergyBasedModel):
 
         self.verbose = verbose
         self.save_after_each_epoch = save_after_each_epoch
+        # fetching the full state to the host for checkpoints/histograms
+        # every epoch can dominate wall-clock on remote TPU backends; these
+        # cadences thin that traffic (1 = the reference's every-epoch
+        # behavior; fit() always saves the final state regardless)
+        self.checkpoint_every_epoch = int(checkpoint_every_epoch)
+        self.summaries_every_epoch = int(summaries_every_epoch)
 
         assert self.n_hidden >= display_filters
         self.display_filters = display_filters
@@ -875,11 +882,11 @@ class BaseRBM(EnergyBasedModel):
                 results['l2_loss'] = float(l2_s[mask].mean())
         return results
 
-    def _run_val_metrics(self, X_val):
+    def _run_val_metrics(self, staged_val):
         prog = self._program('val', self._val_metrics_program)
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
         key = jax.random.fold_in(self._fit_key, 100000 + self.epoch_)
-        full, rem, _ = self._stage_batches(X_val)
+        full, rem, _ = staged_val
         msres, plls = [], []
         if full.shape[0]:
             m, p = prog(self._state, full, k, key)
@@ -897,32 +904,30 @@ class BaseRBM(EnergyBasedModel):
             results['pll'] = float(np.mean(plls))
         return results
 
-    def _run_feg(self, X, X_val):
+    def _run_feg(self, staged_train, staged_val):
         """Free-energy gap between a fixed number of train and validation
-        batches -- an overfitting monitor (base_rbm.py:592-621)."""
+        batches -- an overfitting monitor (base_rbm.py:592-621).  Both sets
+        are pre-staged device arrays; each side is ONE scan dispatch (the
+        per-batch python loop used to dominate epoch wall-clock on remote
+        backends)."""
         prog = self._program('fe', self._free_energy_program)
         n = self.metrics_config['n_batches_for_feg']
         key = jax.random.fold_in(self._fit_key, 200000 + self.epoch_)
 
-        def mean_fe(data, key):
-            B = self.batch_size
-            n_batches = min(n, len(data) // B + (len(data) % B > 0))
+        def mean_fe(staged, key):
+            full, rem, n_full = staged
             fes = []
-            for i, Xb in zip(range(n_batches), batch_iter(data, B)):
-                if len(Xb) == B:
-                    fes.append(float(np.asarray(
-                        prog(self._state,
-                             self._put(self._preprocess(Xb)[None, ...], batched=True),
-                             jax.random.fold_in(key, i))[0])))
-                else:
-                    fes.append(float(np.asarray(
-                        prog(self._state,
-                             jnp.asarray(self._preprocess(Xb))[None, ...],
-                             jax.random.fold_in(key, i))[0])))
+            nb = min(n, int(full.shape[0]))
+            if nb:
+                fes += list(np.asarray(prog(self._state, full[:nb], key)))
+            if len(fes) < n and rem is not None:
+                fes.append(float(np.asarray(
+                    prog(self._state, rem[None, ...],
+                         jax.random.fold_in(key, 999))[0])))
             return np.mean(fes)
 
-        return mean_fe(X_val, jax.random.fold_in(key, 1)) - \
-            mean_fe(X, jax.random.fold_in(key, 0))
+        return mean_fe(staged_val, jax.random.fold_in(key, 1)) - \
+            mean_fe(staged_train, jax.random.fold_in(key, 0))
 
     def _init_writers(self):
         from ..utils.summary_writer import SummaryWriter
@@ -981,6 +986,10 @@ class BaseRBM(EnergyBasedModel):
             self._program('train_epoch', self._train_epoch_program)
         step_prog = self._program('train_step', self._train_step_program)
         full, rem, _ = self._stage_batches(X)
+        # stage the validation set once -- re-uploading it every epoch costs
+        # more than the metrics themselves on remote backends
+        staged_val = self._stage_batches(X_val) if X_val is not None else None
+        staged_train = (full, rem, None)
 
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
@@ -1006,18 +1015,22 @@ class BaseRBM(EnergyBasedModel):
 
             if X_val is not None and \
                     self.epoch_ % self.metrics_config['val_metrics_every_epoch'] == 0:
-                val_results = self._run_val_metrics(X_val)
+                val_results = self._run_val_metrics(staged_val)
             if X_val is not None and self.metrics_config['feg'] and \
                     self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
-                feg = self._run_feg(X, X_val)
+                feg = self._run_feg(staged_train, staged_val)
 
             # one host fetch per epoch, shared by summaries and checkpoint;
             # histograms/images follow the reference's cadence (only when a
             # merged-summary train step was logged this epoch)
+            want_summaries = bool(train_results) and \
+                self.epoch_ % self.summaries_every_epoch == 0
+            want_ckpt = self.save_after_each_epoch and \
+                self.epoch_ % self.checkpoint_every_epoch == 0
             host_state = None
-            if train_results or self.save_after_each_epoch:
+            if want_summaries or want_ckpt:
                 host_state = jax.device_get(self._state)
-            if train_results:
+            if want_summaries:
                 self._write_epoch_summaries(host_state)
                 if self.display_hidden_activations:
                     self._write_hidden_activations(full, rem)
@@ -1044,7 +1057,7 @@ class BaseRBM(EnergyBasedModel):
                     s += ' ; feg: {0:{1}}'.format(feg, self.metrics_config['feg_fmt'])
                 write_during_training(s)
 
-            if self.save_after_each_epoch:
+            if want_ckpt:
                 self._save_model(global_step=self.epoch_,
                                  arrays=self._get_state_arrays(host_state))
 

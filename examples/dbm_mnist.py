@@ -63,7 +63,10 @@ def make_rbm1(X, args):
                         dbm_first=True,
                         metrics_config=dict(msre=True, pll=True,
                                             train_metrics_every_iter=500),
-                        verbose=True, display_filters=30,
+                        verbose=True,
+                        checkpoint_every_epoch=args.checkpoint_every,
+                        summaries_every_epoch=args.summaries_every,
+                        display_filters=30,
                         display_hidden_activations=24, v_shape=(28, 28),
                         random_seed=args.random_seed[0], dtype='float32',
                         model_path=args.rbm1_dirpath)
@@ -99,7 +102,10 @@ def make_rbm2(Q, args):
                         dbm_last=True,
                         metrics_config=dict(msre=True, pll=True,
                                             train_metrics_every_iter=500),
-                        verbose=True, display_hidden_activations=24,
+                        verbose=True,
+                        checkpoint_every_epoch=args.checkpoint_every,
+                        summaries_every_epoch=args.summaries_every,
+                        display_hidden_activations=24,
                         random_seed=args.random_seed[1], dtype='float32',
                         model_path=args.rbm2_dirpath)
     rbm2.fit(Q)
@@ -137,7 +143,10 @@ def make_dbm(data, rbms, transforms, args):
               train_metrics_every_iter=400,
               val_metrics_every_epoch=2,
               random_seed=args.random_seed[2],
-              verbose=True, display_filters=10, display_particles=20,
+              verbose=True,
+              checkpoint_every_epoch=args.checkpoint_every,
+              summaries_every_epoch=args.summaries_every,
+              display_filters=10, display_particles=20,
               v_shape=(28, 28), dtype='float32',
               model_path=args.dbm_dirpath)
     dbm.fit(X_train, X_val)
@@ -199,6 +208,11 @@ def main():
     parser.add_argument('--batch-size', type=int, default=(48, 48, 100), nargs='+')
     parser.add_argument('--l2', type=float, default=(1e-3, 2e-4, 1e-7), nargs='+')
     parser.add_argument('--random-seed', type=int, default=(1337, 1111, 2222), nargs='+')
+    parser.add_argument('--checkpoint-every', type=int, default=1,
+                        help='save a checkpoint every N epochs (final '
+                             'state always saved)')
+    parser.add_argument('--summaries-every', type=int, default=1,
+                        help='write histogram/image summaries every N epochs')
     parser.add_argument('--rbm1-dirpath', type=str, default='../models/dbm_mnist_rbm1/')
     parser.add_argument('--rbm2-dirpath', type=str, default='../models/dbm_mnist_rbm2/')
     parser.add_argument('--dbm-dirpath', type=str, default='../models/dbm_mnist/')

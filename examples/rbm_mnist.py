@@ -78,6 +78,8 @@ def make_rbm(X_train, X_val, args):
                                n_batches_for_feg=50,
                            ),
                            verbose=True,
+                           checkpoint_every_epoch=args.checkpoint_every,
+                           summaries_every_epoch=args.summaries_every,
                            display_filters=30,
                            display_hidden_activations=24,
                            v_shape=(28, 28),
@@ -148,6 +150,12 @@ def main():
     parser.add_argument('--sparsity-damping', type=float, default=0.9)
     parser.add_argument('--random-seed', type=int, default=1337)
     parser.add_argument('--dtype', type=str, default='float32')
+    parser.add_argument('--checkpoint-every', type=int, default=1,
+                        help='save a checkpoint every N epochs (final state '
+                             'is always saved); >1 cuts host traffic on '
+                             'remote TPU backends')
+    parser.add_argument('--summaries-every', type=int, default=1,
+                        help='write histogram/image summaries every N epochs')
     parser.add_argument('--kernel', type=str, default='auto',
                         choices=('auto', 'xla', 'pallas'))
     parser.add_argument('--model-dirpath', type=str,
