@@ -318,7 +318,7 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                            vb_in, hb_in, dvb_in, dhb_in, q_in,
                            W_hbm, dW_hbm,
                            vb_o, hb_o, dvb_o, dhb_o, q_o, msre_o, l2_o,
-                           Wt, dWt, h0m, hst, hm, vpre, vst,
+                           Wt, Wt2, dWt, dWt2, h0m, hst, hm, vpre, vst,
                            dma_sems,
                            *, k, batch_size, n_visible, n_hidden,
                            n_hidden_real, tile,
@@ -327,9 +327,15 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                            l2, sparsity_target, sparsity_cost,
                            sparsity_damping, metrics_every, visible):
     """CD-k epoch for RBMs whose W does not fit VMEM: W and dW live in HBM
-    and stream through a (V, tile) VMEM buffer one hidden-column tile at a
-    time; per-batch activations (B, H) stay in VMEM.  Semantics identical
-    to `_cd_epoch_kernel`."""
+    and stream through double-buffered (V, tile) VMEM tiles -- the DMA for
+    tile t+1 (and the store of tile t-1's update) overlaps tile t's
+    compute, so the epoch runs at HBM bandwidth instead of serialized
+    load->compute->store latency.  Semantics identical to
+    `_cd_epoch_kernel`.
+
+    Semaphore layout: 0/1 W in-loads per buffer, 2/3 dW in-loads,
+    4/5 W out-stores, 6/7 dW out-stores (the grid-step-0 state DMA reuses
+    0..6 and completes before any tile traffic starts)."""
     f32 = jnp.float32
     i = pl.program_id(0)
     pltpu.prng_seed(scalars_ref[0], i)
@@ -357,37 +363,51 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
     vb = vb_o[:]
     hb = hb_o[:]
 
-    def tiles():
-        for t in range(n_tiles):
-            c0 = t * tile
-            w = min(tile, H - c0)
-            yield t, c0, w
+    tl = []
+    for t in range(n_tiles):
+        c0 = t * tile
+        tl.append((t, c0, min(tile, H - c0)))
 
-    def load_W(c0, w):
+    def w_buf(idx):
+        return Wt if idx % 2 == 0 else Wt2
+
+    def d_buf(idx):
+        return dWt if idx % 2 == 0 else dWt2
+
+    def start_w_load(idx):
+        t, c0, w = tl[idx]
         cp = pltpu.make_async_copy(W_hbm.at[:, c0:c0 + w],
-                                   Wt.at[:, :w], dma_sems.at[0])
+                                   w_buf(idx).at[:, :w],
+                                   dma_sems.at[idx % 2])
         cp.start()
-        cp.wait()
+        return cp
 
     def bern(p):
         return (_uniform_bits(p.shape) < p).astype(f32)
 
     def h_pass(src, dst_means):
-        """dst_means[:, c0:c1] = sigmoid(up * (src @ W_t + hb_t))."""
-        for t, c0, w in tiles():
-            load_W(c0, w)
-            act = jnp.dot(src, Wt[:, :w], preferred_element_type=f32)
+        """dst_means[:, c0:c1] = sigmoid(up * (src @ W_t + hb_t)),
+        prefetching tile t+1 under tile t's matmul."""
+        cp = start_w_load(0)
+        for idx, (t, c0, w) in enumerate(tl):
+            nxt = start_w_load(idx + 1) if idx + 1 < n_tiles else None
+            cp.wait()
+            act = jnp.dot(src, w_buf(idx)[:, :w], preferred_element_type=f32)
             dst_means[:, c0:c0 + w] = jax.nn.sigmoid(
                 up * (act + hb[:, c0:c0 + w]))
+            cp = nxt
 
     def v_pass(h_src):
-        """vpre[:] = h_src @ W^T (accumulated over tiles)."""
+        """vpre[:] = h_src @ W^T (accumulated over prefetched tiles)."""
         vpre[:] = jnp.zeros((B, V), f32)
-        for t, c0, w in tiles():
-            load_W(c0, w)
+        cp = start_w_load(0)
+        for idx, (t, c0, w) in enumerate(tl):
+            nxt = start_w_load(idx + 1) if idx + 1 < n_tiles else None
+            cp.wait()
             vpre[:] += jax.lax.dot_general(
-                h_src[:, c0:c0 + w], Wt[:, :w], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
+                h_src[:, c0:c0 + w], w_buf(idx)[:, :w],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            cp = nxt
 
     # positive phase
     h_pass(X, h0m)
@@ -434,16 +454,35 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
     vb_o[:] = vb + dvb_acc
     hb_o[:] = hb + dhb_acc
 
-    # weight updates: stream W and dW tiles through VMEM and write back;
+    # weight updates: stream W and dW tiles through double-buffered VMEM --
+    # tile t's compute overlaps tile t+1's loads and tile t-1's stores;
     # accumulate sum(W^2) of the post-update tiles for the l2 metric
-    ssq = f32(0.)
-    for t, c0, w in tiles():
-        cw = pltpu.make_async_copy(W_hbm.at[:, c0:c0 + w], Wt.at[:, :w],
-                                   dma_sems.at[0])
-        cd = pltpu.make_async_copy(dW_hbm.at[:, c0:c0 + w], dWt.at[:, :w],
-                                   dma_sems.at[1])
+    def start_update_in(idx):
+        t, c0, w = tl[idx]
+        cw = pltpu.make_async_copy(W_hbm.at[:, c0:c0 + w],
+                                   w_buf(idx).at[:, :w],
+                                   dma_sems.at[idx % 2])
+        cd = pltpu.make_async_copy(dW_hbm.at[:, c0:c0 + w],
+                                   d_buf(idx).at[:, :w],
+                                   dma_sems.at[2 + idx % 2])
         cw.start()
         cd.start()
+        return cw, cd
+
+    ssq = f32(0.)
+    out_cps = [None, None]
+    in_cp = start_update_in(0)
+    for idx, (t, c0, w) in enumerate(tl):
+        nxt = None
+        if idx + 1 < n_tiles:
+            # tile idx+1 reuses tile idx-1's buffers: its stores must land
+            # before the fresh loads overwrite them
+            if out_cps[(idx + 1) % 2] is not None:
+                for c in out_cps[(idx + 1) % 2]:
+                    c.wait()
+                out_cps[(idx + 1) % 2] = None
+            nxt = start_update_in(idx + 1)
+        cw, cd = in_cp
         pos = jax.lax.dot_general(X, h0m[:, c0:c0 + w],
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)
@@ -452,25 +491,31 @@ def _tiled_cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                                   preferred_element_type=f32)
         cw.wait()
         cd.wait()
-        grad = (pos - neg) / N - f32(l2) * Wt[:, :w] \
+        grad = (pos - neg) / N - f32(l2) * w_buf(idx)[:, :w] \
             - penalty[:, c0:c0 + w]
-        acc = lr * (mom * dWt[:, :w] + grad)
+        acc = lr * (mom * d_buf(idx)[:, :w] + grad)
         if c0 + w > n_hidden_real:
             # H was padded to a 128 multiple: keep padded weight columns
             # exactly zero so they never feed the visible layer
             col = jax.lax.broadcasted_iota(jnp.int32, (V, w), 1) + c0
             acc = jnp.where(col < n_hidden_real, acc, f32(0.))
-        dWt[:, :w] = acc
-        Wt[:, :w] = Wt[:, :w] + acc
-        ssq = ssq + jnp.sum(Wt[:, :w] * Wt[:, :w])
-        ow = pltpu.make_async_copy(Wt.at[:, :w], W_hbm.at[:, c0:c0 + w],
-                                   dma_sems.at[0])
-        od = pltpu.make_async_copy(dWt.at[:, :w], dW_hbm.at[:, c0:c0 + w],
-                                   dma_sems.at[1])
+        d_buf(idx)[:, :w] = acc
+        w_buf(idx)[:, :w] = w_buf(idx)[:, :w] + acc
+        ssq = ssq + jnp.sum(w_buf(idx)[:, :w] * w_buf(idx)[:, :w])
+        ow = pltpu.make_async_copy(w_buf(idx).at[:, :w],
+                                   W_hbm.at[:, c0:c0 + w],
+                                   dma_sems.at[4 + idx % 2])
+        od = pltpu.make_async_copy(d_buf(idx).at[:, :w],
+                                   dW_hbm.at[:, c0:c0 + w],
+                                   dma_sems.at[6 + idx % 2])
         ow.start()
         od.start()
-        ow.wait()
-        od.wait()
+        out_cps[idx % 2] = (ow, od)
+        in_cp = nxt
+    for oc in out_cps:
+        if oc is not None:
+            for c in oc:
+                c.wait()
 
     want = (it % jnp.uint32(metrics_every)) == 0
     msre_val = jnp.where(want, jnp.mean(jnp.square(X - v_means_last)),
@@ -565,14 +610,16 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                  const2d((NB, 128))]),
             out_shape=out_shapes,
             scratch_shapes=[
-                pltpu.VMEM((V, tile), jnp.float32),      # Wt
+                pltpu.VMEM((V, tile), jnp.float32),      # Wt  (buffer 0)
+                pltpu.VMEM((V, tile), jnp.float32),      # Wt2 (buffer 1)
                 pltpu.VMEM((V, tile), jnp.float32),      # dWt
+                pltpu.VMEM((V, tile), jnp.float32),      # dWt2
                 pltpu.VMEM((B, H), jnp.float32),         # h0 means
                 pltpu.VMEM((B, H), jnp.float32),         # h states
                 pltpu.VMEM((B, H), jnp.float32),         # h means (chain end)
                 pltpu.VMEM((B, V), jnp.float32),         # v preactivation
                 pltpu.VMEM((B, V), jnp.float32),         # v states
-                pltpu.SemaphoreType.DMA((7,)),
+                pltpu.SemaphoreType.DMA((8,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=('arbitrary',),

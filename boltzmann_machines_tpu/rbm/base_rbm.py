@@ -753,7 +753,7 @@ class BaseRBM(EnergyBasedModel):
         if self.metrics_config['pll'] or hid == 'multinomial':
             return None
         tile = 1024
-        scratch = (2 * self.n_visible * tile * 4
+        scratch = (4 * self.n_visible * tile * 4
                    + 3 * self.batch_size * self.n_hidden * 4
                    + 3 * self.batch_size * self.n_visible * 4
                    + n_batches * 512)
