@@ -394,6 +394,10 @@ def main():
     parser.add_argument('--mlp-dropout', type=float, default=0.7)
     parser.add_argument('--mlp-save-prefix', type=str, default='../data/grbm_')
     args = parser.parse_args()
+    # cache files (X_s/X_aug/Q/G .npy) live under the data root too
+    from boltzmann_machines_tpu.utils.dataset import resolve_data_dir
+    args.data_path = resolve_data_dir(args.data_path)
+
 
     for name in ('n_gibbs_steps', 'lr', 'epochs', 'batch_size', 'l2',
                  'random_seed'):
