@@ -223,7 +223,7 @@ def test_mf_converges(trained, data):
     assert int(n) <= dbm.max_mf_updates
     # one more sweep changes nothing beyond tol if converged before cap
     if int(n) < dbm.max_mf_updates:
-        mu2 = dbm._mf_sweep(dbm._state, X, mu)
+        mu2 = dbm._mf_sweep(dbm._state, X @ dbm._state['W'][0], mu)
         delta = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
                     for a, b in zip(mu2, mu))
         assert delta <= dbm.mf_tol * 10
