@@ -17,12 +17,53 @@ training program is re-jitted transparently.
 
 import os
 import json
+import threading
 
 import numpy as np
 
 from .base import is_param_name
 from .base_model import BaseModel
 from .mixin import DtypeMixin
+
+
+class AsyncEpochWriter(object):
+    """Overlap end-of-epoch host work (device->host state fetch, histogram
+    summaries, checkpoint writes) with the next epoch's device execution.
+
+    The reference runs on a locally-attached GPU where fetching state is
+    nearly free; on TPU -- and especially on remote-attached devices -- the
+    per-epoch ``device_get`` + npz write can rival the epoch's device time.
+    The fit loops snapshot the state *on device* (cheap HBM-to-HBM copy, so
+    the next epoch's buffer donation cannot invalidate it), then hand the
+    fetch-and-write continuation to this single-worker pipeline.
+
+    Depth-1 by design: ``submit`` joins the previous epoch's work first, so
+    checkpoints land in order and at most one extra state copy is alive.
+    Exceptions raised by the worker re-raise on the next submit/join."""
+
+    def __init__(self):
+        self._thread = None
+        self._exc = None
+
+    def submit(self, fn):
+        self.join()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised on the training thread
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def join(self):
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._exc is not None:
+            e, self._exc = self._exc, None
+            raise e
 
 
 class JAXModel(BaseModel, DtypeMixin):
@@ -93,35 +134,73 @@ class JAXModel(BaseModel, DtypeMixin):
     # ------------------------------------------------------------------ #
     # persistence                                                         #
     # ------------------------------------------------------------------ #
-    def _save_model(self, global_step=None, arrays=None):
-        """`arrays` lets callers reuse a host copy of the state fetched this
-        epoch (device transfers dominate per-epoch cost on remote links)."""
+    def _checkpoint_payload(self):
+        """JSON-able metadata captured NOW -- async checkpoint writers must
+        snapshot this on the training thread, because ``epoch_``/``iter_``
+        advance while the worker is still fetching the state arrays."""
+        params = self.get_params(deep=False)
+        params = self._serialize(params)
+        params['__class_name__'] = self.__class__.__name__
+        rng_state = self._rng.get_state() \
+            if self.random_seed is not None else None
+        return params, rng_state
+
+    def _write_checkpoint(self, params, rng_state, arrays):
         for dirpath in (self._train_summary_dirpath, self._val_summary_dirpath):
             if not os.path.exists(dirpath):
                 os.makedirs(dirpath)
 
-        params = self.get_params(deep=False)
-        params = self._serialize(params)
-        params['__class_name__'] = self.__class__.__name__
         # atomic writes: a crash mid-dump must not corrupt the checkpoint
         tmp = self._params_filepath + '.tmp'
         with open(tmp, 'w') as f:
             json.dump(params, f, **self.json_params)
         os.replace(tmp, self._params_filepath)
 
-        if self.random_seed is not None:
+        if rng_state is not None:
             tmp = self._random_state_filepath + '.tmp'
             with open(tmp, 'w') as f:
-                json.dump(self._rng.get_state(), f)
+                json.dump(rng_state, f)
             os.replace(tmp, self._random_state_filepath)
 
-        if arrays is None:
-            arrays = self._get_state_arrays()
         # atomic-ish write: npz to temp then rename
         tmp = self._model_filepath + '.npz.tmp'
         with open(tmp, 'wb') as f:
             np.savez(f, **arrays)
         os.replace(tmp, self._model_filepath + '.npz')
+
+    def _save_model(self, global_step=None, arrays=None):
+        """`arrays` lets callers reuse a host copy of the state fetched this
+        epoch (device transfers dominate per-epoch cost on remote links)."""
+        params, rng_state = self._checkpoint_payload()
+        if arrays is None:
+            arrays = self._get_state_arrays()
+        self._write_checkpoint(params, rng_state, arrays)
+
+    def _submit_epoch_host_work(self, writer, want_summaries, want_ckpt):
+        """End-of-epoch host pipeline: snapshot the state pytree on device
+        (HBM-to-HBM copy -- immune to the next epoch's buffer donation),
+        capture the JSON metadata now, and let the async worker overlap the
+        device->host fetch, histogram summaries, and checkpoint write with
+        the next epoch's device execution."""
+        import jax
+        import jax.numpy as jnp
+        snap_prog = self._program(
+            'state_snapshot',
+            lambda: jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s)))
+        snap = snap_prog(self._state)
+        step = self.iter_
+        payload = self._checkpoint_payload() if want_ckpt else None
+
+        def work():
+            host_state = jax.device_get(snap)
+            if want_summaries:
+                self._write_epoch_summaries(host_state, step)
+            if want_ckpt:
+                params, rng_state = payload
+                self._write_checkpoint(params, rng_state,
+                                       self._get_state_arrays(host_state))
+
+        writer.submit(work)
 
     @classmethod
     def load_model(cls, model_path):

@@ -33,6 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .base.jax_model import AsyncEpochWriter
 from .ebm import EnergyBasedModel
 from .layers import BaseLayer, BernoulliLayer
 from .utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
@@ -899,15 +900,17 @@ class DBM(EnergyBasedModel):
             self._train_writer = SummaryWriter(self._train_summary_dirpath)
             self._val_writer = SummaryWriter(self._val_summary_dirpath)
 
-    def _write_epoch_summaries(self, s):
+    def _write_epoch_summaries(self, s, step):
         """Per-epoch weight/bias histograms, cumulative-filter images per
         layer (reference dbm.py:312-322), and negative-particle images
-        (dbm.py:531-547)."""
+        (dbm.py:531-547).  `step` is passed explicitly: this may run on the
+        async checkpoint worker after the training thread advanced
+        ``iter_``."""
         w = self._train_writer
-        w.add_histogram('vb', s['vb'], self.iter_)
+        w.add_histogram('vb', s['vb'], step)
         for l in range(self.n_layers_):
-            w.add_histogram('W_{0}'.format(l), s['W'][l], self.iter_)
-            w.add_histogram('hb_{0}'.format(l), s['hb'][l], self.iter_)
+            w.add_histogram('W_{0}'.format(l), s['W'][l], step)
+            w.add_histogram('hb_{0}'.format(l), s['hb'][l], step)
         if self.display_filters:
             from .utils.plot_utils import filter_grid_image
             W = s['W'][0]
@@ -915,12 +918,12 @@ class DBM(EnergyBasedModel):
                 if l > 0:
                     W = W @ s['W'][l]
                 img = filter_grid_image(W, self.v_shape, self.display_filters)
-                w.add_image('W_filters_{0}'.format(l), img, self.iter_)
+                w.add_image('W_filters_{0}'.format(l), img, step)
         if self.display_particles:
             from .utils.plot_utils import filter_grid_image
             v = np.asarray(s['v'][:self.display_particles]).T  # (V, n)
             img = filter_grid_image(v, self.v_shape, self.display_particles)
-            w.add_image('negative_particles', img, self.iter_)
+            w.add_image('negative_particles', img, step)
 
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
@@ -934,6 +937,17 @@ class DBM(EnergyBasedModel):
         # stage the validation set once (uploads dominate on remote links)
         staged_val = self._stage_batches(X_val) if X_val is not None else None
 
+        # end-of-epoch host work runs on a depth-1 async pipeline (see
+        # AsyncEpochWriter), overlapped with the next epoch on device
+        aw = AsyncEpochWriter()
+        try:
+            self._fit_epochs(X_val, use_pallas, use_shardmap, epoch_prog,
+                             step_prog, full, rem, staged_val, aw)
+        finally:
+            aw.join()
+
+    def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
+                    step_prog, full, rem, staged_val, aw):
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):
@@ -994,11 +1008,8 @@ class DBM(EnergyBasedModel):
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \
                 self.epoch_ % self.checkpoint_every_epoch == 0
-            host_state = None
             if want_summaries or want_ckpt:
-                host_state = jax.device_get(self._state)
-            if want_summaries:
-                self._write_epoch_summaries(host_state)
+                self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
             if train_msre is not None:
                 self._train_writer.add_scalar('mean_squared_recon_error',
                                               train_msre, self.iter_)
@@ -1026,10 +1037,6 @@ class DBM(EnergyBasedModel):
                 if val_n_mf is not None:
                     s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
                 write_during_training(s)
-
-            if want_ckpt:
-                self._save_model(global_step=self.epoch_,
-                                 arrays=self._get_state_arrays(host_state))
 
     def _run_val_metrics(self, staged_val):
         prog = self._program('val', self._val_metrics_program)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..ebm import EnergyBasedModel
 from ..base import is_attribute_name
+from ..base.jax_model import AsyncEpochWriter
 from ..utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
                      write_during_training)
 from ..utils.testing import assert_len, assert_shape
@@ -942,16 +943,18 @@ class BaseRBM(EnergyBasedModel):
         'pll': 'pseudo_loglikelihood',
     }
 
-    def _write_epoch_summaries(self, arrays):
+    def _write_epoch_summaries(self, arrays, step):
         """Per-epoch histograms of all learned tensors and (optionally)
-        filter-grid images (reference base_rbm.py:295-323, 300-306)."""
+        filter-grid images (reference base_rbm.py:295-323, 300-306).
+        `step` is passed explicitly: this may run on the async checkpoint
+        worker after the training thread has advanced ``iter_``."""
         for name in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
-            self._train_writer.add_histogram(name, arrays[name], self.iter_)
+            self._train_writer.add_histogram(name, arrays[name], step)
         if self.display_filters:
             from ..utils.plot_utils import filter_grid_image
             img = filter_grid_image(arrays['W'], self.v_shape,
                                     self.display_filters)
-            self._train_writer.add_image('W_filters', img, self.iter_)
+            self._train_writer.add_image('W_filters', img, step)
 
     def _write_hidden_activations(self, full, rem):
         """(batch x display_hidden_activations) image of the chain-end
@@ -991,6 +994,19 @@ class BaseRBM(EnergyBasedModel):
         staged_val = self._stage_batches(X_val) if X_val is not None else None
         staged_train = (full, rem, None)
 
+        # end-of-epoch host work (state fetch -> histograms -> checkpoint)
+        # runs on a depth-1 async pipeline, overlapped with the next epoch's
+        # device execution; joined on exit so fit() returns a settled disk
+        aw = AsyncEpochWriter()
+        try:
+            self._fit_epochs(X_val, use_pallas, use_shardmap, epoch_prog,
+                             step_prog, full, rem, staged_train, staged_val,
+                             aw)
+        finally:
+            aw.join()
+
+    def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
+                    step_prog, full, rem, staged_train, staged_val, aw):
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):
@@ -1027,13 +1043,12 @@ class BaseRBM(EnergyBasedModel):
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \
                 self.epoch_ % self.checkpoint_every_epoch == 0
-            host_state = None
+            if want_summaries and self.display_hidden_activations:
+                # needs a device program against the live state -- stays on
+                # the training thread (the probe fetch is small)
+                self._write_hidden_activations(full, rem)
             if want_summaries or want_ckpt:
-                host_state = jax.device_get(self._state)
-            if want_summaries:
-                self._write_epoch_summaries(host_state)
-                if self.display_hidden_activations:
-                    self._write_hidden_activations(full, rem)
+                self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
             for m, v in train_results.items():
                 self._train_writer.add_scalar(self._metrics_names_map[m], v,
                                               self.iter_)
@@ -1056,10 +1071,6 @@ class BaseRBM(EnergyBasedModel):
                 if feg is not None:
                     s += ' ; feg: {0:{1}}'.format(feg, self.metrics_config['feg_fmt'])
                 write_during_training(s)
-
-            if want_ckpt:
-                self._save_model(global_step=self.epoch_,
-                                 arrays=self._get_state_arrays(host_state))
 
     # ================================================================== #
     # public API                                                          #

@@ -14,6 +14,7 @@ to the event file for tooling that prefers text.
 import json
 import os
 import struct
+import threading
 import time
 
 # ---------------------------------------------------------------------- #
@@ -145,22 +146,28 @@ class SummaryWriter(object):
         self._jsonl = os.path.join(logdir, 'scalars.jsonl')
         self._f = open(self._path, 'ab')
         self._j = open(self._jsonl, 'a')
+        # records may arrive from the training thread and the async
+        # checkpoint/summary worker concurrently; keep each record atomic
+        self._lock = threading.Lock()
         # TensorBoard expects a version event first
         self._write_record(_pb_double(1, time.time()) +
                            _pb_bytes(3, b'brain.Event:2'))
 
     def _write_record(self, payload):
         header = struct.pack('<Q', len(payload))
-        self._f.write(header)
-        self._f.write(struct.pack('<I', _masked_crc(header)))
-        self._f.write(payload)
-        self._f.write(struct.pack('<I', _masked_crc(payload)))
+        with self._lock:
+            self._f.write(header)
+            self._f.write(struct.pack('<I', _masked_crc(header)))
+            self._f.write(payload)
+            self._f.write(struct.pack('<I', _masked_crc(payload)))
 
     def add_scalar(self, tag, value, step):
         now = time.time()
         self._write_record(_encode_event(tag, value, step, now))
-        self._j.write(json.dumps({'tag': tag, 'value': float(value),
-                                  'step': int(step), 'wall_time': now}) + '\n')
+        line = json.dumps({'tag': tag, 'value': float(value),
+                           'step': int(step), 'wall_time': now}) + '\n'
+        with self._lock:
+            self._j.write(line)
 
     def add_image(self, tag, img, step):
         """`img`: (H, W) or (H, W, 3) uint8 array (use
@@ -179,8 +186,9 @@ class SummaryWriter(object):
                                                    time.time()))
 
     def flush(self):
-        self._f.flush()
-        self._j.flush()
+        with self._lock:
+            self._f.flush()
+            self._j.flush()
 
     def close(self):
         self.flush()

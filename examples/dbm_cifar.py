@@ -129,7 +129,9 @@ def make_small_rbms(X_train, X_val, args):
             print('\nLoading small RBM #{0} ...\n'.format(rbm_id))
             return GaussianRBM.load_model(dirpath)
         print('\nTraining small RBM #{0} ...\n'.format(rbm_id))
-        rbm = GaussianRBM(random_seed=seed, model_path=dirpath, **config)
+        rbm = GaussianRBM(random_seed=seed, checkpoint_every_epoch=args.checkpoint_every,
+                          summaries_every_epoch=args.summaries_every,
+                          model_path=dirpath, **config)
         rbm.fit(Xp, Xpv)
         return rbm
 
@@ -224,6 +226,8 @@ def make_grbm(X_train, X_val, small_rbms, args):
                        verbose=True, display_filters=24,
                        display_hidden_activations=36, v_shape=(32, 32, 3),
                        random_seed=args.random_seed[0], dtype='float32',
+                       checkpoint_every_epoch=args.checkpoint_every,
+                       summaries_every_epoch=args.summaries_every,
                        model_path=args.grbm_dirpath)
     grbm.fit(X_train, X_val)
     return grbm
@@ -262,6 +266,8 @@ def make_mrbm(Q_train, Q_val, args):
                                               n_batches_for_feg=50),
                           verbose=True, display_hidden_activations=100,
                           random_seed=args.random_seed[1], dtype='float32',
+                          checkpoint_every_epoch=args.checkpoint_every,
+                          summaries_every_epoch=args.summaries_every,
                           model_path=args.mrbm_dirpath)
     mrbm.fit(Q_train, Q_val)
     return mrbm
@@ -309,6 +315,8 @@ def make_dbm(data, rbms, particles, args):
               random_seed=args.random_seed[2],
               verbose=True, display_filters=12, display_particles=36,
               v_shape=(32, 32, 3), dtype='float32',
+              checkpoint_every_epoch=args.checkpoint_every,
+              summaries_every_epoch=args.summaries_every,
               model_path=args.dbm_dirpath)
     dbm.fit(X_train, X_val)
     return dbm
@@ -385,6 +393,11 @@ def main():
     parser.add_argument('--sparsity-target', type=float, default=(0.2, 0.2), nargs='+')
     parser.add_argument('--sparsity-cost', type=float, default=(1e-4, 1e-3), nargs='+')
     parser.add_argument('--sparsity-damping', type=float, default=0.9)
+    parser.add_argument('--checkpoint-every', type=int, default=1,
+                        help='save a checkpoint every N epochs (final state '
+                             'is always saved); raise on slow device links')
+    parser.add_argument('--summaries-every', type=int, default=1,
+                        help='write histogram/image summaries every N epochs')
     parser.add_argument('--mlp-no-init', action='store_true')
     parser.add_argument('--mlp-l2', type=float, default=1e-4)
     parser.add_argument('--mlp-lrm', type=float, default=(0.01, 1.), nargs='+')

@@ -94,6 +94,8 @@ def make_grbm(X_train, X_val, args):
                        verbose=True, display_filters=12,
                        display_hidden_activations=24, v_shape=(32, 32, 3),
                        dtype='float32', random_seed=args.random_seed[0],
+                       checkpoint_every_epoch=args.checkpoint_every,
+                       summaries_every_epoch=args.summaries_every,
                        model_path=args.grbm_dirpath)
     grbm.fit(X_train, X_val)
     return grbm
@@ -122,6 +124,8 @@ def make_mrbm(Q_train, Q_val, args):
                                               n_batches_for_feg=50),
                           verbose=True, display_hidden_activations=100,
                           random_seed=1337, dtype='float32',
+                          checkpoint_every_epoch=args.checkpoint_every,
+                          summaries_every_epoch=args.summaries_every,
                           model_path=args.mrbm_dirpath)
     mrbm.fit(Q_train, Q_val)
     return mrbm
@@ -167,7 +171,9 @@ def make_dbm(data, rbms, particles, args):
               random_seed=args.random_seed[2],
               verbose=True, save_after_each_epoch=True,
               display_filters=12, display_particles=36, v_shape=(32, 32, 3),
-              dtype='float32', model_path=args.dbm_dirpath)
+              dtype='float32', checkpoint_every_epoch=args.checkpoint_every,
+              summaries_every_epoch=args.summaries_every,
+              model_path=args.dbm_dirpath)
     dbm.fit(X_train, X_val)
     return dbm
 
@@ -227,6 +233,11 @@ def main():
     parser.add_argument('--max-mf-updates', type=int, default=50)
     parser.add_argument('--mf-tol', type=float, default=1e-11)
     parser.add_argument('--max-norm', type=float, default=4.)
+    parser.add_argument('--checkpoint-every', type=int, default=1,
+                        help='save a checkpoint every N epochs (final state '
+                             'is always saved); raise on slow device links')
+    parser.add_argument('--summaries-every', type=int, default=1,
+                        help='write histogram/image summaries every N epochs')
     parser.add_argument('--mlp-no-init', action='store_true')
     parser.add_argument('--mlp-l2', type=float, default=1e-4)
     parser.add_argument('--mlp-lrm', type=float, default=(0.1, 1.), nargs='+')
