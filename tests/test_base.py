@@ -76,3 +76,51 @@ def test_set_params_validation(tiny_data):
     assert rbm.max_epoch == 5
     with pytest.raises(ValueError):
         rbm.set_params(no_such_param=1)
+
+
+def test_async_epoch_writer_orders_and_raises():
+    """AsyncEpochWriter: depth-1 pipeline runs jobs in submission order and
+    re-raises worker exceptions on the training thread."""
+    import time
+    from boltzmann_machines_tpu.base.jax_model import AsyncEpochWriter
+
+    aw = AsyncEpochWriter()
+    seen = []
+
+    def job(i, delay=0.01):
+        def run():
+            time.sleep(delay)
+            seen.append(i)
+        return run
+
+    for i in range(4):
+        aw.submit(job(i))  # each submit joins the previous job first
+    aw.join()
+    assert seen == [0, 1, 2, 3]
+
+    def boom():
+        raise RuntimeError('worker failed')
+
+    aw.submit(boom)
+    with pytest.raises(RuntimeError, match='worker failed'):
+        aw.join()
+    # the writer is reusable after an exception
+    aw.submit(job(99, delay=0.0))
+    aw.join()
+    assert seen[-1] == 99
+
+
+def test_checkpoint_payload_snapshot(tiny_data, tmp_path):
+    """The checkpoint metadata passed to the async worker reflects the epoch
+    it was captured at, even if attributes advance afterwards."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    X, _ = tiny_data
+    rbm = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=1, batch_size=8,
+                       random_seed=1, verbose=False,
+                       model_path=str(tmp_path) + '/')
+    rbm.fit(X)
+    params, rng_state = rbm._checkpoint_payload()
+    assert params['epoch_'] == 1
+    rbm.epoch_ = 77  # training thread moves on; payload must not change
+    assert params['epoch_'] == 1
+    assert rng_state is not None
