@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from .base.jax_model import AsyncEpochWriter
 from .ebm import EnergyBasedModel
 from .layers import BaseLayer, BernoulliLayer
+from .parallel import fully_replicated as _fully_replicated
 from .utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
                     write_during_training,
                     log_sum_exp, log_diff_exp, log_mean_exp, log_std_exp)
@@ -54,9 +55,14 @@ def make_beta_schedule(n_betas, kind='linear'):
         return np.linspace(0., 1., n_betas + 1)
     if kind != 'adaptive':
         raise ValueError("beta_schedule must be 'linear' or 'adaptive'")
+    if n_betas < 3:  # too few steps for three bands; uniform is exact
+        return np.linspace(0., 1., n_betas + 1)
     n1 = max(int(round(0.035 * n_betas)), 1)
     n3 = max(int(round(0.69 * n_betas)), 1)
-    n2 = max(n_betas - n1 - n3, 1)
+    n2 = n_betas - n1 - n3
+    if n2 < 1:  # small ladders: keep the total exactly n_betas
+        n3 = max(n_betas - n1 - 1, 1)
+        n2 = n_betas - n1 - n3
     return np.concatenate([
         np.linspace(0., 0.5, n1, endpoint=False),
         np.linspace(0.5, 0.9, n2, endpoint=False),
@@ -608,7 +614,20 @@ class DBM(EnergyBasedModel):
             return False
         mesh, axis = self._mesh
         n = mesh.shape[axis]
-        return (self.batch_size % n == 0) and (self.n_particles % n == 0)
+        if self.batch_size % n or self.n_particles % n:
+            return False
+        # Manually model-sharded parameters (e.g. W[0] device_put with
+        # PartitionSpec(None, 'model'), as in __graft_entry__) must stay on
+        # the GSPMD path: the shard_map epoch declares parameters
+        # replicated, which would silently all-gather tensor-parallel
+        # weights onto every device.
+        if self._state is not None:
+            params = ([self._state['vb']] + list(self._state['W'])
+                      + list(self._state['hb']) + [self._state['dvb']]
+                      + list(self._state['dW']) + list(self._state['dhb']))
+            if not all(_fully_replicated(p) for p in params):
+                return False
+        return True
 
     def _shardmap_epoch_program(self, k):
         """One DBM training epoch over a data-parallel mesh as a single

@@ -51,3 +51,15 @@ def replicate(mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def fully_replicated(x):
+    """True unless `x` is a jax.Array partitioned across devices.
+
+    Used by the training engines to route manually model-sharded
+    parameters onto the GSPMD epoch (a shard_map epoch whose in_specs
+    declare parameters replicated would silently all-gather them)."""
+    sharding = getattr(x, 'sharding', None)
+    if sharding is None:
+        return True
+    return bool(sharding.is_fully_replicated)

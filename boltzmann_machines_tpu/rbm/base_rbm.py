@@ -494,7 +494,17 @@ class BaseRBM(EnergyBasedModel):
         if self._model_axis is not None:
             return False  # tensor-parallel W stays on the GSPMD path
         mesh, axis = self._mesh
-        return self.batch_size % mesh.shape[axis] == 0
+        if self.batch_size % mesh.shape[axis]:
+            return False
+        # parameters sharded by hand (device_put, bypassing set_mesh's
+        # model_axis) must also stay on the GSPMD path -- the shard_map
+        # epoch declares them replicated and would all-gather them
+        from ..parallel import fully_replicated
+        if self._state is not None and not all(
+                fully_replicated(self._state[k])
+                for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb', 'q_means')):
+            return False
+        return True
 
     def _pallas_stats_eligible(self, local_batch):
         from ..layers import BernoulliLayer

@@ -27,10 +27,12 @@ fi
 
 echo "BMT_MODELS_URL not set (or no egress) -- regenerating models locally"
 echo "via the example pipelines.  Stages cached in this directory are skipped."
-cd ..
-python examples/rbm_mnist.py
-python examples/dbm_mnist.py
+# run from examples/ -- the example scripts' default model/data paths
+# ('../models/...', '../data/...') are relative to that directory
+cd ../examples
+python rbm_mnist.py
+python dbm_mnist.py
 if [[ "${1:-}" != "--quick" ]]; then
-    python examples/dbm_cifar_naive.py
-    python examples/dbm_cifar.py
+    python dbm_cifar_naive.py
+    python dbm_cifar.py
 fi

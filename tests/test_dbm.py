@@ -168,6 +168,12 @@ def test_beta_schedule_shapes():
     assert np.all(np.diff(ada) > 0)
     # dense near beta=1: over half the ladder sits in [0.9, 1]
     assert (ada >= 0.9).mean() > 0.5
+    # small ladders keep the exact length-(n_betas + 1) contract
+    for n in (1, 2, 3, 4, 7, 10):
+        small = make_beta_schedule(n, 'adaptive')
+        assert len(small) == n + 1, n
+        assert small[0] == 0. and small[-1] == 1.
+        assert np.all(np.diff(small) > 0)
     with pytest.raises(ValueError):
         make_beta_schedule(10, 'quadratic')
 

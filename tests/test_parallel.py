@@ -235,3 +235,58 @@ def test_dbm_trains_on_mesh(tmp_model_dir):
     assert dbm._state['v'].sharding.spec[0] == 'data'
     G = dbm.transform(X)
     assert G.shape == (64, 6)
+
+
+def test_dbm_manual_model_sharding_routes_to_gspmd(tmp_model_dir):
+    """Manually model-sharded DBM weights (device_put, as in
+    __graft_entry__.dryrun_multichip) must NOT take the shard_map epoch,
+    whose in_specs declare parameters replicated and would silently
+    all-gather the tensor-parallel matrix.  Training must still work via
+    the GSPMD path and keep the weight sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    X = (RNG(1).rand(64, 12) < 0.5).astype('float32')
+    mesh = make_mesh(shape=(4, 2))
+    r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True, max_epoch=1,
+                      batch_size=16, random_seed=1, verbose=False,
+                      model_path=tmp_model_dir + 'r1/')
+    r1.fit(X)
+    r2 = BernoulliRBM(n_visible=8, n_hidden=6, dbm_last=True, max_epoch=1,
+                      batch_size=16, random_seed=2, verbose=False,
+                      model_path=tmp_model_dir + 'r2/')
+    r2.fit(r1.transform(X))
+
+    dbm = DBM(rbms=[r1, r2], n_particles=16, n_gibbs_steps=2,
+              max_mf_updates=5, learning_rate=0.01, momentum=0.5,
+              max_epoch=1, batch_size=16, max_norm=4., random_seed=3,
+              verbose=False, model_path=tmp_model_dir + 'dbm/')
+    dbm.set_mesh(mesh)
+    dbm._ensure_state()
+    assert dbm._shardmap_eligible()
+    W = list(dbm._state['W'])
+    W[0] = jax.device_put(W[0], NamedSharding(mesh, P(None, 'model')))
+    dbm._state['W'] = tuple(W)
+    assert not dbm._shardmap_eligible()
+    dbm.fit(X)
+    assert not dbm._state['W'][0].sharding.is_fully_replicated
+    s = dbm.get_params_arrays('weights')
+    assert all(np.all(np.isfinite(v)) for v in s.values())
+
+
+def test_rbm_manual_model_sharding_routes_to_gspmd(tmp_model_dir):
+    """Same guard for BaseRBM when the user device_puts W directly
+    instead of using set_mesh(model_axis=...)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    X = RNG(1).rand(64, 16).astype('float32')
+    mesh = make_mesh(shape=(4, 2))
+    rbm = BernoulliRBM(n_visible=16, n_hidden=32, max_epoch=1, batch_size=16,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       model_path=tmp_model_dir)
+    rbm.set_mesh(mesh)
+    rbm._ensure_state()
+    assert rbm._shardmap_eligible()
+    rbm._state['W'] = jax.device_put(
+        rbm._state['W'], NamedSharding(mesh, P(None, 'model')))
+    assert not rbm._shardmap_eligible()
+    rbm.fit(X)
+    assert np.all(np.isfinite(rbm.get_params_arrays('weights')['W']))
