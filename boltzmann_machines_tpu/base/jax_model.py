@@ -26,6 +26,38 @@ from .base_model import BaseModel
 from .mixin import DtypeMixin
 
 
+def device_histogram(x, n_buckets=64):
+    """Linear-bucket histogram of an array, reduced ON DEVICE inside jit.
+
+    Returns a small pytree (counts + moments, a few hundred bytes on the
+    host) consumed by ``SummaryWriter.add_device_histogram`` -- the
+    TPU-native replacement for fetching whole weight tensors to the host
+    just to histogram them (reference base_rbm.py:295-323 evaluates the
+    variables host-side)."""
+    import jax.numpy as jnp
+    x = x.ravel().astype(jnp.float32)
+    vmin, vmax = jnp.min(x), jnp.max(x)
+    span = jnp.maximum(vmax - vmin, jnp.float32(1e-30))
+    idx = jnp.clip(((x - vmin) / span * n_buckets).astype(jnp.int32),
+                   0, n_buckets - 1)
+    counts = jnp.zeros((n_buckets,), jnp.int32).at[idx].add(1)
+    return {'counts': counts, 'min': vmin, 'max': vmax,
+            'sum': jnp.sum(x), 'sum_sq': jnp.sum(x * x),
+            'num': jnp.int32(x.size)}
+
+
+def fetch_as(arr, np_dtype):
+    """device->host fetch of `arr` as `np_dtype`, down-casting ON DEVICE
+    first when the target is narrower -- on remote-attached TPUs the
+    transfer is the cost, so shipping f16 instead of f32 halves it (e.g.
+    the CIFAR pipelines cache G-RBM features as float16,
+    reference dbm_cifar.py:646)."""
+    np_dtype = np.dtype(np_dtype)
+    if hasattr(arr, 'astype') and np_dtype.itemsize < arr.dtype.itemsize:
+        arr = arr.astype(np_dtype)
+    return np.asarray(arr, dtype=np_dtype)
+
+
 class AsyncEpochWriter(object):
     """Overlap end-of-epoch host work (device->host state fetch, histogram
     summaries, checkpoint writes) with the next epoch's device execution.
@@ -176,12 +208,22 @@ class JAXModel(BaseModel, DtypeMixin):
             arrays = self._get_state_arrays()
         self._write_checkpoint(params, rng_state, arrays)
 
+    def _summary_device_stats(self, snap):
+        """Subclass hook: reduce the state snapshot to the SMALL pytree the
+        epoch summaries need (bucketed histograms via `device_histogram`,
+        pre-sliced image tensors).  Histogramming 100+ MB of weights on
+        device and fetching a few KB of buckets beats fetching the state to
+        the host, especially over remote device links."""
+        raise NotImplementedError
+
     def _submit_epoch_host_work(self, writer, want_summaries, want_ckpt):
         """End-of-epoch host pipeline: snapshot the state pytree on device
         (HBM-to-HBM copy -- immune to the next epoch's buffer donation),
-        capture the JSON metadata now, and let the async worker overlap the
-        device->host fetch, histogram summaries, and checkpoint write with
-        the next epoch's device execution."""
+        reduce it to summary stats on device, capture the JSON metadata
+        now, and let the async worker overlap the device->host fetch and
+        disk writes with the next epoch's device execution.  A
+        summaries-only epoch fetches just the reduced stats (KBs); only
+        checkpoint epochs fetch the full state."""
         import jax
         import jax.numpy as jnp
         snap_prog = self._program(
@@ -190,12 +232,17 @@ class JAXModel(BaseModel, DtypeMixin):
         snap = snap_prog(self._state)
         step = self.iter_
         payload = self._checkpoint_payload() if want_ckpt else None
+        sumstats = None
+        if want_summaries:
+            stats_prog = self._program(
+                'summary_stats', lambda: jax.jit(self._summary_device_stats))
+            sumstats = stats_prog(snap)
 
         def work():
-            host_state = jax.device_get(snap)
-            if want_summaries:
-                self._write_epoch_summaries(host_state, step)
+            if sumstats is not None:
+                self._write_epoch_summaries(jax.device_get(sumstats), step)
             if want_ckpt:
+                host_state = jax.device_get(snap)
                 params, rng_state = payload
                 self._write_checkpoint(params, rng_state,
                                        self._get_state_arrays(host_state))

@@ -919,6 +919,27 @@ class DBM(EnergyBasedModel):
             self._train_writer = SummaryWriter(self._train_summary_dirpath)
             self._val_writer = SummaryWriter(self._val_summary_dirpath)
 
+    def _summary_device_stats(self, snap):
+        """Device-side reduction for the epoch summaries: bucketed
+        histograms of the weights/biases, per-layer cumulative-filter
+        columns (the W_0 @ ... @ W_l products stay on device, only the
+        first ``display_filters`` visible-space columns come back), and the
+        first ``display_particles`` persistent chains."""
+        from .base.jax_model import device_histogram
+        out = {'vb': device_histogram(snap['vb']),
+               'W': [device_histogram(w) for w in snap['W']],
+               'hb': [device_histogram(b) for b in snap['hb']]}
+        if self.display_filters:
+            cum = snap['W'][0]
+            filters = [cum[:, :self.display_filters]]
+            for l in range(1, self.n_layers_):
+                cum = cum @ snap['W'][l]
+                filters.append(cum[:, :self.display_filters])
+            out['W_filters'] = filters
+        if self.display_particles:
+            out['particles'] = snap['v'][:self.display_particles]
+        return out
+
     def _write_epoch_summaries(self, s, step):
         """Per-epoch weight/bias histograms, cumulative-filter images per
         layer (reference dbm.py:312-322), and negative-particle images
@@ -926,21 +947,19 @@ class DBM(EnergyBasedModel):
         async checkpoint worker after the training thread advanced
         ``iter_``."""
         w = self._train_writer
-        w.add_histogram('vb', s['vb'], step)
+        w.add_device_histogram('vb', s['vb'], step)
         for l in range(self.n_layers_):
-            w.add_histogram('W_{0}'.format(l), s['W'][l], step)
-            w.add_histogram('hb_{0}'.format(l), s['hb'][l], step)
+            w.add_device_histogram('W_{0}'.format(l), s['W'][l], step)
+            w.add_device_histogram('hb_{0}'.format(l), s['hb'][l], step)
         if self.display_filters:
             from .utils.plot_utils import filter_grid_image
-            W = s['W'][0]
             for l in range(self.n_layers_):
-                if l > 0:
-                    W = W @ s['W'][l]
-                img = filter_grid_image(W, self.v_shape, self.display_filters)
+                img = filter_grid_image(s['W_filters'][l], self.v_shape,
+                                        self.display_filters)
                 w.add_image('W_filters_{0}'.format(l), img, step)
         if self.display_particles:
             from .utils.plot_utils import filter_grid_image
-            v = np.asarray(s['v'][:self.display_particles]).T  # (V, n)
+            v = np.asarray(s['particles']).T  # (V, n)
             img = filter_grid_image(v, self.v_shape, self.display_particles)
             w.add_image('negative_particles', img, step)
 
@@ -1078,17 +1097,18 @@ class DBM(EnergyBasedModel):
         """Last-layer variational activations mu_L (reference dbm.py:859-872)."""
         self._ensure_state()
         np_dtype = np_dtype or self._np_dtype
+        from .base.jax_model import fetch_as
         full, rem, n_full = self._stage_batches(X)
         G = np.zeros((len(X), self.n_hiddens_[-1]), dtype=np_dtype)
         if n_full:
             prog = self._program('transform_scan', self._transform_scan_program)
             G_full = prog(self._state, full)
-            G[:n_full * self.batch_size] = np.asarray(
-                G_full, dtype=np_dtype).reshape(-1, self.n_hiddens_[-1])
+            G[:n_full * self.batch_size] = fetch_as(
+                G_full, np_dtype).reshape(-1, self.n_hiddens_[-1])
         if rem is not None:
             prog = self._program('transform', self._transform_program)
             G_b = prog(self._state, rem)
-            G[n_full * self.batch_size:] = np.asarray(G_b, dtype=np_dtype)
+            G[n_full * self.batch_size:] = fetch_as(G_b, np_dtype)
         return G
 
     def reconstruct(self, X):

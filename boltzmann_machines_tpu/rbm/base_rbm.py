@@ -953,16 +953,30 @@ class BaseRBM(EnergyBasedModel):
         'pll': 'pseudo_loglikelihood',
     }
 
-    def _write_epoch_summaries(self, arrays, step):
+    _summary_tensor_names = ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb')
+
+    def _summary_device_stats(self, snap):
+        """Device-side reduction for the epoch summaries: bucketed
+        histograms of every learned tensor plus the first
+        ``display_filters`` weight columns -- a few KB fetched instead of
+        the full (V, H) state."""
+        from ..base.jax_model import device_histogram
+        out = {name: device_histogram(snap[name])
+               for name in self._summary_tensor_names}
+        if self.display_filters:
+            out['W_filters'] = snap['W'][:, :self.display_filters]
+        return out
+
+    def _write_epoch_summaries(self, stats, step):
         """Per-epoch histograms of all learned tensors and (optionally)
         filter-grid images (reference base_rbm.py:295-323, 300-306).
         `step` is passed explicitly: this may run on the async checkpoint
         worker after the training thread has advanced ``iter_``."""
-        for name in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
-            self._train_writer.add_histogram(name, arrays[name], step)
+        for name in self._summary_tensor_names:
+            self._train_writer.add_device_histogram(name, stats[name], step)
         if self.display_filters:
             from ..utils.plot_utils import filter_grid_image
-            img = filter_grid_image(arrays['W'], self.v_shape,
+            img = filter_grid_image(stats['W_filters'], self.v_shape,
                                     self.display_filters)
             self._train_writer.add_image('W_filters', img, step)
 
@@ -1119,17 +1133,18 @@ class BaseRBM(EnergyBasedModel):
         key = self.make_prng_key()
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
 
+        from ..base.jax_model import fetch_as
         full, rem, n_full = self._stage_batches(X)
         H = np.zeros((len(X), self.n_hidden), dtype=np_dtype)
         if n_full:
             prog = self._program('transform_scan', self._transform_scan_program)
             H_full = prog(self._state, full, k, key)
-            H[:n_full * self.batch_size] = np.asarray(
-                H_full, dtype=np_dtype).reshape(-1, self.n_hidden)
+            H[:n_full * self.batch_size] = fetch_as(
+                H_full, np_dtype).reshape(-1, self.n_hidden)
         if rem is not None:
             prog = self._program('transform', self._transform_program)
             H_b = prog(self._state, rem, k, jax.random.fold_in(key, n_full))
-            H[n_full * self.batch_size:] = np.asarray(H_b, dtype=np_dtype)
+            H[n_full * self.batch_size:] = fetch_as(H_b, np_dtype)
         return H
 
     def free_energy(self, X):

@@ -106,15 +106,12 @@ def _encode_image_event(tag, png_bytes, height, width, channels, step,
     return _event(sval, step, wall_time)
 
 
-def _encode_histogram_event(tag, values, step, wall_time):
+def _encode_histogram_from_buckets(tag, edges, counts, vmin, vmax, num,
+                                   vsum, vsum_sq, step, wall_time):
+    """HistogramProto from precomputed bucket counts over `edges`
+    (len(edges) == len(counts) + 1)."""
     import numpy as np
-    values = np.asarray(values, dtype=np.float64).ravel()
-    # TensorBoard's standard exponential bucket boundaries
-    limits = [-1e308]
-    neg = [-(1.1 ** i) * 1e-12 for i in range(0, 776)][::-1]
-    pos = [(1.1 ** i) * 1e-12 for i in range(0, 776)]
-    edges = np.asarray(neg + [0.0] + pos + [1e308])
-    counts, _ = np.histogram(values, bins=edges)
+    counts = np.asarray(counts)
     nz = counts.nonzero()[0]
     if len(nz) == 0:
         keep = [0]
@@ -122,17 +119,30 @@ def _encode_histogram_event(tag, values, step, wall_time):
         keep = range(max(nz[0] - 1, 0), min(nz[-1] + 1, len(counts) - 1) + 1)
     # HistogramProto { min=1; max=2; num=3; sum=4; sum_squares=5;
     #                  bucket_limit=7 (repeated); bucket=8 (repeated) }
-    histo = (_pb_double(1, float(values.min())) +
-             _pb_double(2, float(values.max())) +
-             _pb_double(3, float(values.size)) +
-             _pb_double(4, float(values.sum())) +
-             _pb_double(5, float((values ** 2).sum())))
+    histo = (_pb_double(1, float(vmin)) +
+             _pb_double(2, float(vmax)) +
+             _pb_double(3, float(num)) +
+             _pb_double(4, float(vsum)) +
+             _pb_double(5, float(vsum_sq)))
     for i in keep:
         histo += _pb_double(7, float(edges[i + 1]))
         histo += _pb_double(8, float(counts[i]))
     # Summary.Value { tag = 1; histo = 5 }
     sval = _pb_bytes(1, tag.encode()) + _pb_bytes(5, histo)
     return _event(sval, step, wall_time)
+
+
+def _encode_histogram_event(tag, values, step, wall_time):
+    import numpy as np
+    values = np.asarray(values, dtype=np.float64).ravel()
+    # TensorBoard's standard exponential bucket boundaries
+    neg = [-(1.1 ** i) * 1e-12 for i in range(0, 776)][::-1]
+    pos = [(1.1 ** i) * 1e-12 for i in range(0, 776)]
+    edges = np.asarray(neg + [0.0] + pos + [1e308])
+    counts, _ = np.histogram(values, bins=edges)
+    return _encode_histogram_from_buckets(
+        tag, edges, counts, values.min(), values.max(), values.size,
+        values.sum(), (values ** 2).sum(), step, wall_time)
 
 
 class SummaryWriter(object):
@@ -184,6 +194,31 @@ class SummaryWriter(object):
     def add_histogram(self, tag, values, step):
         self._write_record(_encode_histogram_event(tag, values, step,
                                                    time.time()))
+
+    def add_histogram_raw(self, tag, edges, counts, vmin, vmax, num, vsum,
+                          vsum_sq, step):
+        """Histogram from precomputed buckets (len(edges) == len(counts)+1)
+        -- lets callers reduce on an accelerator and ship only the buckets
+        over slow device links."""
+        self._write_record(_encode_histogram_from_buckets(
+            tag, edges, counts, vmin, vmax, num, vsum, vsum_sq, step,
+            time.time()))
+
+    def add_device_histogram(self, tag, stats, step):
+        """Consume the small pytree produced by
+        ``base.jax_model.device_histogram`` (linear buckets + moments)."""
+        import numpy as np
+        vmin, vmax = float(stats['min']), float(stats['max'])
+        counts = np.asarray(stats['counts'])
+        if vmax > vmin:
+            edges = np.linspace(vmin, vmax, len(counts) + 1)
+        else:  # degenerate (constant tensor): give TB strictly-increasing
+               # edges around the single value
+            eps = max(abs(vmin), 1.) * 1e-7
+            edges = vmin + np.arange(len(counts) + 1) * eps
+        self.add_histogram_raw(tag, edges, counts, vmin, vmax,
+                               int(stats['num']), float(stats['sum']),
+                               float(stats['sum_sq']), step)
 
     def flush(self):
         with self._lock:

@@ -96,3 +96,75 @@ def test_filter_grid_image():
     W3 = np.random.RandomState(0).randn(8 * 8 * 3, 5).astype('float32')
     img3 = filter_grid_image(W3, (8, 8, 3), 4)
     assert img3.shape == (16, 16, 3)
+
+
+def test_device_histogram_matches_numpy():
+    import numpy as np
+    from boltzmann_machines_tpu.base.jax_model import device_histogram
+    x = np.random.RandomState(0).randn(4096).astype('float32')
+    st = {k: np.asarray(v) for k, v in device_histogram(x, 32).items()}
+    edges = np.linspace(x.min(), x.max(), 33)
+    ref, _ = np.histogram(x, bins=edges)
+    assert int(st['num']) == 4096
+    np.testing.assert_allclose(float(st['sum']), x.sum(), rtol=1e-5)
+    np.testing.assert_allclose(float(st['min']), x.min())
+    np.testing.assert_allclose(float(st['max']), x.max())
+    assert st['counts'].sum() == 4096
+    # bucket boundaries bin identically up to edge-rounding: compare with
+    # 1-off tolerance per bucket
+    assert np.abs(st['counts'] - ref).max() <= 1
+
+
+def _event_payloads(logdir):
+    import os, struct
+    out = b''
+    for p in sorted(os.listdir(logdir)):
+        if p.startswith('events.out'):
+            with open(os.path.join(logdir, p), 'rb') as f:
+                out += f.read()
+    return out
+
+
+def test_fit_writes_device_histograms_and_filter_images(tmp_model_dir):
+    """The end-of-epoch summary pipeline reduces on device: a fit with
+    summaries enabled must land histogram + image events without ever
+    fetching the full state for them."""
+    import numpy as np
+    from boltzmann_machines_tpu import BernoulliRBM
+    X = (np.random.RandomState(0).rand(64, 36) < 0.5).astype('float32')
+    rbm = BernoulliRBM(n_visible=36, n_hidden=9, max_epoch=2, batch_size=16,
+                       random_seed=1, verbose=False, display_filters=4,
+                       v_shape=(6, 6, 1),
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=2),
+                       model_path=tmp_model_dir)
+    rbm.fit(X)
+    data = _event_payloads(rbm._train_summary_dirpath)
+    assert b'W_filters' in data
+    assert b'\x89PNG' in data
+    assert b'dW' in data and b'vb' in data  # histogram tags
+
+
+def test_dbm_fit_writes_cumulative_filters_and_particles(tmp_model_dir):
+    import numpy as np
+    from boltzmann_machines_tpu import BernoulliRBM, DBM
+    X = (np.random.RandomState(0).rand(64, 16) < 0.5).astype('float32')
+    r1 = BernoulliRBM(n_visible=16, n_hidden=8, dbm_first=True, max_epoch=1,
+                      batch_size=16, random_seed=1, verbose=False,
+                      model_path=tmp_model_dir + 'r1/')
+    r1.fit(X)
+    r2 = BernoulliRBM(n_visible=8, n_hidden=6, dbm_last=True, max_epoch=1,
+                      batch_size=16, random_seed=2, verbose=False,
+                      model_path=tmp_model_dir + 'r2/')
+    r2.fit(r1.transform(X))
+    dbm = DBM(rbms=[r1, r2], n_particles=8, n_gibbs_steps=1,
+              max_mf_updates=3, learning_rate=0.01, momentum=0.5,
+              max_epoch=2, batch_size=16, random_seed=3, verbose=False,
+              display_filters=4, display_particles=4, v_shape=(4, 4, 1),
+              train_metrics_every_iter=2,
+              model_path=tmp_model_dir + 'dbm/')
+    dbm.fit(X)
+    data = _event_payloads(dbm._train_summary_dirpath)
+    assert b'W_filters_0' in data and b'W_filters_1' in data
+    assert b'negative_particles' in data
+    assert b'W_0' in data and b'hb_1' in data
