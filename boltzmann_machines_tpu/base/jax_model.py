@@ -46,16 +46,31 @@ def device_histogram(x, n_buckets=64):
             'num': jnp.int32(x.size)}
 
 
-def fetch_as(arr, np_dtype):
+def fetch_as(arr, np_dtype, chunk_mb=64):
     """device->host fetch of `arr` as `np_dtype`, down-casting ON DEVICE
     first when the target is narrower -- on remote-attached TPUs the
     transfer is the cost, so shipping f16 instead of f32 halves it (e.g.
     the CIFAR pipelines cache G-RBM features as float16,
-    reference dbm_cifar.py:646)."""
+    reference dbm_cifar.py:646).
+
+    Fetches larger than `chunk_mb` stream in row-sliced pieces: some
+    remote device links stall outright on multi-hundred-MB single
+    transfers (observed on the tunneled dev chip), and chunking also
+    bounds peak host memory for the f32->f16 conversion."""
     np_dtype = np.dtype(np_dtype)
     if hasattr(arr, 'astype') and np_dtype.itemsize < arr.dtype.itemsize:
         arr = arr.astype(np_dtype)
-    return np.asarray(arr, dtype=np_dtype)
+    is_device = hasattr(arr, 'addressable_shards')  # jax.Array
+    nbytes = int(np.prod(arr.shape, dtype=np.int64)) * arr.dtype.itemsize \
+        if hasattr(arr, 'shape') else 0
+    if not is_device or not getattr(arr, 'ndim', 0) or \
+            nbytes <= (chunk_mb << 20):
+        return np.asarray(arr, dtype=np_dtype)
+    rows = max(1, int((chunk_mb << 20) // max(nbytes // arr.shape[0], 1)))
+    out = np.empty(arr.shape, dtype=np_dtype)
+    for i in range(0, arr.shape[0], rows):
+        out[i:i + rows] = np.asarray(arr[i:i + rows], dtype=np_dtype)
+    return out
 
 
 class AsyncEpochWriter(object):

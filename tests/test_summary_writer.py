@@ -168,3 +168,16 @@ def test_dbm_fit_writes_cumulative_filters_and_particles(tmp_model_dir):
     assert b'W_filters_0' in data and b'W_filters_1' in data
     assert b'negative_particles' in data
     assert b'W_0' in data and b'hb_1' in data
+
+
+def test_fetch_as_chunked_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from boltzmann_machines_tpu.base.jax_model import fetch_as
+    x = jnp.arange(2_000_000, dtype=jnp.float32).reshape(2000, 1000) \
+        % 2048.  # exactly representable in f16
+    h = fetch_as(x, np.float16, chunk_mb=1)  # 4 MB cast > 1 MB: sliced path
+    assert h.dtype == np.float16 and h.shape == (2000, 1000)
+    np.testing.assert_array_equal(
+        h, np.asarray(x).astype(np.float16))
+    assert fetch_as(np.ones((4, 4)), np.float32).dtype == np.float32
