@@ -41,9 +41,11 @@ def device_histogram(x, n_buckets=64):
     idx = jnp.clip(((x - vmin) / span * n_buckets).astype(jnp.int32),
                    0, n_buckets - 1)
     counts = jnp.zeros((n_buckets,), jnp.int32).at[idx].add(1)
+    # moments are f32 (XLA's tree reductions keep relative error ~1e-6
+    # even at 10^8 elements; x64 may be disabled); `num` is recovered
+    # host-side from the counts in int64
     return {'counts': counts, 'min': vmin, 'max': vmax,
-            'sum': jnp.sum(x), 'sum_sq': jnp.sum(x * x),
-            'num': jnp.int32(x.size)}
+            'sum': jnp.sum(x), 'sum_sq': jnp.sum(x * x)}
 
 
 def fetch_as(arr, np_dtype, chunk_mb=64):
@@ -61,12 +63,11 @@ def fetch_as(arr, np_dtype, chunk_mb=64):
     if hasattr(arr, 'astype') and np_dtype.itemsize < arr.dtype.itemsize:
         arr = arr.astype(np_dtype)
     is_device = hasattr(arr, 'addressable_shards')  # jax.Array
-    nbytes = int(np.prod(arr.shape, dtype=np.int64)) * arr.dtype.itemsize \
-        if hasattr(arr, 'shape') else 0
     if not is_device or not getattr(arr, 'ndim', 0) or \
-            nbytes <= (chunk_mb << 20):
+            getattr(arr, 'nbytes', 0) <= (chunk_mb << 20):
         return np.asarray(arr, dtype=np_dtype)
-    rows = max(1, int((chunk_mb << 20) // max(nbytes // arr.shape[0], 1)))
+    rows = max(1, int((chunk_mb << 20) // max(arr.nbytes // arr.shape[0],
+                                              1)))
     out = np.empty(arr.shape, dtype=np_dtype)
     for i in range(0, arr.shape[0], rows):
         out[i:i + rows] = np.asarray(arr[i:i + rows], dtype=np_dtype)
@@ -241,23 +242,33 @@ class JAXModel(BaseModel, DtypeMixin):
         checkpoint epochs fetch the full state."""
         import jax
         import jax.numpy as jnp
-        snap_prog = self._program(
-            'state_snapshot',
-            lambda: jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s)))
-        snap = snap_prog(self._state)
         step = self.iter_
         payload = self._checkpoint_payload() if want_ckpt else None
+        snap = None
+        if want_ckpt:
+            snap_prog = self._program(
+                'state_snapshot',
+                lambda: jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy,
+                                                                 s)))
+            snap = snap_prog(self._state)
         sumstats = None
         if want_summaries:
+            # safe to read the live state without a snapshot: this dispatch
+            # is enqueued before the next epoch's donated program, and the
+            # stats outputs are fresh (tiny) buffers
             stats_prog = self._program(
                 'summary_stats', lambda: jax.jit(self._summary_device_stats))
-            sumstats = stats_prog(snap)
+            sumstats = stats_prog(snap if snap is not None else self._state)
 
         def work():
             if sumstats is not None:
                 self._write_epoch_summaries(jax.device_get(sumstats), step)
-            if want_ckpt:
-                host_state = jax.device_get(snap)
+            if snap is not None:
+                # chunked leaf fetches: huge single transfers can stall
+                # remote links (see fetch_as)
+                host_state = jax.tree_util.tree_map(
+                    lambda leaf: fetch_as(leaf, leaf.dtype)
+                    if hasattr(leaf, 'dtype') else leaf, snap)
                 params, rng_state = payload
                 self._write_checkpoint(params, rng_state,
                                        self._get_state_arrays(host_state))

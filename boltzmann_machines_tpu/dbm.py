@@ -1040,8 +1040,9 @@ class DBM(EnergyBasedModel):
                     self.epoch_ % self.val_metrics_every_epoch == 0:
                 val_msre, val_n_mf = self._run_val_metrics(staged_val)
 
-            # one host fetch per epoch, shared by summaries and checkpoint;
-            # histograms/images only when a train step was logged this epoch
+            # summaries reduce on device (KB-scale fetch); only checkpoint
+            # epochs fetch the full state.  Histograms/images only when a
+            # train step was logged this epoch
             want_summaries = train_msre is not None and \
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \

@@ -1060,9 +1060,10 @@ class BaseRBM(EnergyBasedModel):
                     self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
                 feg = self._run_feg(staged_train, staged_val)
 
-            # one host fetch per epoch, shared by summaries and checkpoint;
-            # histograms/images follow the reference's cadence (only when a
-            # merged-summary train step was logged this epoch)
+            # summaries reduce on device (KB-scale fetch); only checkpoint
+            # epochs fetch the full state.  Histograms/images follow the
+            # reference's cadence (only when a merged-summary train step
+            # was logged this epoch)
             want_summaries = bool(train_results) and \
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \

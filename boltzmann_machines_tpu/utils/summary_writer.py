@@ -216,8 +216,9 @@ class SummaryWriter(object):
                # edges around the single value
             eps = max(abs(vmin), 1.) * 1e-7
             edges = vmin + np.arange(len(counts) + 1) * eps
-        self.add_histogram_raw(tag, edges, counts, vmin, vmax,
-                               int(stats['num']), float(stats['sum']),
+        num = int(counts.sum(dtype=np.int64))
+        self.add_histogram_raw(tag, edges, counts, vmin, vmax, num,
+                               float(stats['sum']),
                                float(stats['sum_sq']), step)
 
     def flush(self):

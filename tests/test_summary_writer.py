@@ -105,7 +105,6 @@ def test_device_histogram_matches_numpy():
     st = {k: np.asarray(v) for k, v in device_histogram(x, 32).items()}
     edges = np.linspace(x.min(), x.max(), 33)
     ref, _ = np.histogram(x, bins=edges)
-    assert int(st['num']) == 4096
     np.testing.assert_allclose(float(st['sum']), x.sum(), rtol=1e-5)
     np.testing.assert_allclose(float(st['min']), x.min())
     np.testing.assert_allclose(float(st['max']), x.max())
