@@ -48,6 +48,20 @@ def device_histogram(x, n_buckets=64):
             'sum': jnp.sum(x), 'sum_sq': jnp.sum(x * x)}
 
 
+def fetch_many(*arrays):
+    """Fetch several (small) device arrays concurrently as numpy.
+
+    Per-epoch metric readbacks are latency-bound on remote links (each
+    blocking transfer pays a round trip); issuing them through a thread
+    pool overlaps the round trips.  Returns numpy arrays in order."""
+    arrays = list(arrays)
+    if len(arrays) <= 1:
+        return [np.asarray(a) for a in arrays]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(4, len(arrays))) as ex:
+        return list(ex.map(np.asarray, arrays))
+
+
 def fetch_as(arr, np_dtype, chunk_mb=32, workers=4):
     """device->host fetch of `arr` as `np_dtype`, down-casting ON DEVICE
     first when the target is narrower -- on remote-attached TPUs the

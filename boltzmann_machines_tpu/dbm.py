@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .base.jax_model import AsyncEpochWriter
+from .base.jax_model import (AsyncEpochWriter, device_histogram, fetch_as,
+                             fetch_many)
 from .ebm import EnergyBasedModel
 from .layers import BaseLayer, BernoulliLayer
 from .parallel import fully_replicated as _fully_replicated
@@ -925,7 +926,6 @@ class DBM(EnergyBasedModel):
         columns (the W_0 @ ... @ W_l products stay on device, only the
         first ``display_filters`` visible-space columns come back), and the
         first ``display_particles`` persistent chains."""
-        from .base.jax_model import device_histogram
         out = {'vb': device_histogram(snap['vb']),
                'W': [device_histogram(w) for w in snap['W']],
                'hb': [device_histogram(b) for b in snap['hb']]}
@@ -1020,14 +1020,14 @@ class DBM(EnergyBasedModel):
                 self._state, it, (msres, n_mfs) = epoch_prog(
                     self._state, full, lr, mom, k, ekey, self.iter_)
                 self.iter_ = int(it)
-            msres = np.asarray(msres)
-            n_mfs = np.asarray(n_mfs)
+            msres, n_mfs = fetch_many(msres, n_mfs)
             if rem is not None:
                 self.iter_ += 1
                 self._state, (m, n) = step_prog(self._state, rem, lr, mom, k,
                                                 ekey, self.iter_)
-                msres = np.append(msres, np.asarray(m))
-                n_mfs = np.append(n_mfs, np.asarray(n))
+                m, n = fetch_many(m, n)
+                msres = np.append(msres, m)
+                n_mfs = np.append(n_mfs, n)
 
             # reference logs metrics every `train_metrics_every_iter` steps
             iters = self.iter_ - len(msres) + 1 + np.arange(len(msres))
@@ -1080,15 +1080,14 @@ class DBM(EnergyBasedModel):
     def _run_val_metrics(self, staged_val):
         prog = self._program('val', self._val_metrics_program)
         full, rem, _ = staged_val
-        msres, n_mfs = [], []
+        pending = []
         if full.shape[0]:
-            m, n = prog(self._state, full)
-            msres += list(np.asarray(m))
-            n_mfs += list(np.asarray(n))
+            pending += list(prog(self._state, full))
         if rem is not None:
-            m, n = prog(self._state, rem[None, ...])
-            msres += list(np.asarray(m))
-            n_mfs += list(np.asarray(n))
+            pending += list(prog(self._state, rem[None, ...]))
+        fetched = fetch_many(*pending)  # alternating (msre, n_mf) pairs
+        msres = np.concatenate(fetched[::2])
+        n_mfs = np.concatenate(fetched[1::2])
         return float(np.mean(msres)), float(np.mean(n_mfs))
 
     # ================================================================== #
@@ -1098,7 +1097,6 @@ class DBM(EnergyBasedModel):
         """Last-layer variational activations mu_L (reference dbm.py:859-872)."""
         self._ensure_state()
         np_dtype = np_dtype or self._np_dtype
-        from .base.jax_model import fetch_as
         full, rem, n_full = self._stage_batches(X)
         G = np.zeros((len(X), self.n_hiddens_[-1]), dtype=np_dtype)
         if n_full:

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..ebm import EnergyBasedModel
 from ..base import is_attribute_name
-from ..base.jax_model import AsyncEpochWriter
+from ..base.jax_model import (AsyncEpochWriter, device_histogram,
+                              fetch_as, fetch_many)
 from ..utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
                      write_during_training)
 from ..utils.testing import assert_len, assert_shape
@@ -791,9 +792,7 @@ class BaseRBM(EnergyBasedModel):
             self._state, msre_s, pll_s, l2_s = prog(self._state, full, lr,
                                                     mom, seed, iter0)
             self.iter_ += int(full.shape[0])
-            msre_s = np.asarray(msre_s)
-            pll_s = np.asarray(pll_s)
-            l2_s = np.asarray(l2_s)
+            msre_s, pll_s, l2_s = fetch_many(msre_s, pll_s, l2_s)
         else:
             # zero full batches: the kernel's grid-step-0 state DMA would
             # never run -- only the remainder step below trains
@@ -807,7 +806,7 @@ class BaseRBM(EnergyBasedModel):
             self.iter_ += 1
             self._state, m = step_prog(self._state, rem, lr, mom, k, ekey,
                                        self.iter_)
-            m = [np.asarray(x) for x in m]
+            m = fetch_many(*m)
             msre_s = np.append(msre_s, m[0])
             pll_s = np.append(pll_s, m[1])
             l2_s = np.append(l2_s, m[2])
@@ -871,12 +870,12 @@ class BaseRBM(EnergyBasedModel):
             self._state, full, lr, mom, k, ekey, self.iter_)
         self.iter_ = int(it)
 
-        msre_s, pll_s, l2_s, mask = [np.asarray(x) for x in stacked]
+        msre_s, pll_s, l2_s, mask = fetch_many(*stacked)
         if rem is not None:
             self.iter_ += 1
             self._state, m = step_prog(self._state, rem, lr, mom, k, ekey,
                                        self.iter_)
-            m = [np.asarray(x) for x in m]
+            m = fetch_many(*m)
             msre_s = np.append(msre_s, m[0])
             pll_s = np.append(pll_s, m[1])
             l2_s = np.append(l2_s, m[2])
@@ -898,16 +897,15 @@ class BaseRBM(EnergyBasedModel):
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
         key = jax.random.fold_in(self._fit_key, 100000 + self.epoch_)
         full, rem, _ = staged_val
-        msres, plls = [], []
+        pending = []
         if full.shape[0]:
-            m, p = prog(self._state, full, k, key)
-            msres += list(np.asarray(m))
-            plls += list(np.asarray(p))
+            pending += list(prog(self._state, full, k, key))
         if rem is not None:
-            m, p = prog(self._state, rem[None, ...], k,
-                        jax.random.fold_in(key, 1))
-            msres += list(np.asarray(m))
-            plls += list(np.asarray(p))
+            pending += list(prog(self._state, rem[None, ...], k,
+                                 jax.random.fold_in(key, 1)))
+        fetched = fetch_many(*pending)  # alternating (msre, pll) pairs
+        msres = np.concatenate(fetched[::2])
+        plls = np.concatenate(fetched[1::2])
         results = {}
         if self.metrics_config['msre']:
             results['msre'] = float(np.mean(msres))
@@ -925,20 +923,25 @@ class BaseRBM(EnergyBasedModel):
         n = self.metrics_config['n_batches_for_feg']
         key = jax.random.fold_in(self._fit_key, 200000 + self.epoch_)
 
-        def mean_fe(staged, key):
+        def fe_parts(staged, key):
+            """Dispatch (without fetching) this side's free-energy arrays."""
             full, rem, n_full = staged
-            fes = []
+            parts = []
             nb = min(n, int(full.shape[0]))
             if nb:
-                fes += list(np.asarray(prog(self._state, full[:nb], key)))
-            if len(fes) < n and rem is not None:
-                fes.append(float(np.asarray(
-                    prog(self._state, rem[None, ...],
-                         jax.random.fold_in(key, 999))[0])))
-            return np.mean(fes)
+                parts.append(prog(self._state, full[:nb], key))
+            if nb < n and rem is not None:
+                parts.append(prog(self._state, rem[None, ...],
+                                  jax.random.fold_in(key, 999))[:1])
+            return parts
 
-        return mean_fe(staged_val, jax.random.fold_in(key, 1)) - \
-            mean_fe(staged_train, jax.random.fold_in(key, 0))
+        val_parts = fe_parts(staged_val, jax.random.fold_in(key, 1))
+        train_parts = fe_parts(staged_train, jax.random.fold_in(key, 0))
+        fetched = fetch_many(*(val_parts + train_parts))
+        nv = len(val_parts)
+        val_fe = np.mean(np.concatenate([f.ravel() for f in fetched[:nv]]))
+        train_fe = np.mean(np.concatenate([f.ravel() for f in fetched[nv:]]))
+        return val_fe - train_fe
 
     def _init_writers(self):
         from ..utils.summary_writer import SummaryWriter
@@ -960,7 +963,6 @@ class BaseRBM(EnergyBasedModel):
         histograms of every learned tensor plus the first
         ``display_filters`` weight columns -- a few KB fetched instead of
         the full (V, H) state."""
-        from ..base.jax_model import device_histogram
         out = {name: device_histogram(snap[name])
                for name in self._summary_tensor_names}
         if self.display_filters:
@@ -1134,7 +1136,6 @@ class BaseRBM(EnergyBasedModel):
         key = self.make_prng_key()
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
 
-        from ..base.jax_model import fetch_as
         full, rem, n_full = self._stage_batches(X)
         H = np.zeros((len(X), self.n_hidden), dtype=np_dtype)
         if n_full:
