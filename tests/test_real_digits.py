@@ -79,3 +79,47 @@ def test_finetune_warm_start_beats_random_init(digits, trained_rbm):
     # measured: warm 0.9306, cold 0.9083 (seed 1)
     assert warm >= 0.92
     assert warm > cold
+
+
+def test_dbm_generative_stack_beats_independent_baseline(digits,
+                                                         tmp_path_factory):
+    """Full generative stack on real data: greedy pretraining -> joint
+    PCD/MF training -> AIS partition function -> variational ELBO.  The
+    trained DBM's held-out ELBO must beat the independent-pixel baseline
+    (the reference validates its DBMs the same way, via AIS + ELBO against
+    published numbers, README.md:186-198)."""
+    from boltzmann_machines_tpu import DBM
+    X_train, X_test, _, _ = digits
+    X_train = X_train[:1408]
+    root = str(tmp_path_factory.mktemp('digits_dbm')) + '/'
+
+    r1 = BernoulliRBM(n_visible=64, n_hidden=64, dbm_first=True,
+                      learning_rate=0.05, momentum=0.9, max_epoch=40,
+                      batch_size=32, l2=1e-4, random_seed=1, verbose=False,
+                      save_after_each_epoch=False, model_path=root + 'r1/')
+    r1.fit(X_train)
+    Q = r1.transform(X_train)
+    r2 = BernoulliRBM(n_visible=64, n_hidden=32, dbm_last=True,
+                      learning_rate=0.05, momentum=0.9, max_epoch=40,
+                      batch_size=32, l2=1e-4, random_seed=2, verbose=False,
+                      save_after_each_epoch=False, model_path=root + 'r2/')
+    r2.fit(Q)
+    G = r2.transform(Q)
+
+    dbm = DBM(rbms=[r1, r2], n_particles=64, v_particle_init=X_train[:64],
+              h_particles_init=(Q[:64], G[:64]), n_gibbs_steps=1,
+              max_mf_updates=20, mf_tol=1e-7,
+              learning_rate=np.geomspace(0.01, 1e-3, 50), momentum=0.9,
+              max_epoch=50, batch_size=32, max_norm=6., random_seed=3,
+              verbose=False, save_after_each_epoch=False,
+              model_path=root + 'dbm/')
+    dbm.fit(X_train)
+
+    log_Z, (lo, hi), _ = dbm.log_Z(n_betas=2000, n_runs=48, n_gibbs_steps=1)
+    assert np.isfinite(lo) and hi - lo < 2.  # tight estimator interval
+    elbo = float(np.mean(dbm.log_proba(X_test, log_Z=log_Z)))
+
+    p = X_train.mean(axis=0).clip(1e-3, 1. - 1e-3)
+    indep = float(np.mean(X_test @ np.log(p) + (1. - X_test) @ np.log1p(-p)))
+    # measured: elbo -19.2 vs baseline -24.7 (seed-stable by >5 nats)
+    assert elbo > indep + 2.
