@@ -16,6 +16,7 @@ accuracy without / with augmentation.
 
 import argparse
 import os
+
 import sys
 
 import numpy as np
@@ -33,15 +34,24 @@ from boltzmann_machines_tpu.utils.dataset import (load_cifar10, im_flatten,
 N_SMALL_HIDDEN = 300
 
 
+def stage_cached(dirpath):
+    """A stage is reusable only if a finished checkpoint exists --
+    a bare directory can be left behind by an interrupted run."""
+    return os.path.isfile(os.path.join(dirpath, 'params.json'))
+
 def load_data(args):
     try:
         X, y = load_cifar10(mode='train', path=args.data_path)
         X_test, y_test = load_cifar10(mode='test', path=args.data_path)
     except (IOError, OSError):
-        print('CIFAR-10 files not found; using synthetic stand-in data')
+        # honor --n-train/--n-val so wall-clocks stay comparable with the
+        # reference's 49k-row scale even without the real dataset
+        n = args.n_train + args.n_val
+        print('CIFAR-10 files not found; using %d synthetic stand-in rows'
+              % n)
         rng = RNG(42)
-        X = rng.rand(4096, 3072) * 255.
-        y = rng.randint(0, 10, 4096)
+        X = rng.rand(n, 3072) * 255.
+        y = rng.randint(0, 10, n)
         X_test = rng.rand(1024, 3072) * 255.
         y_test = rng.randint(0, 10, 1024)
     X = X.astype(np.float32) / 255.
@@ -125,7 +135,7 @@ def make_small_rbms(X_train, X_val, args):
 
     def train_one(rbm_id, Xp, Xpv, seed):
         dirpath = args.small_dirpath_prefix + str(rbm_id) + '/'
-        if os.path.isdir(dirpath):
+        if stage_cached(dirpath):
             print('\nLoading small RBM #{0} ...\n'.format(rbm_id))
             return GaussianRBM.load_model(dirpath)
         print('\nTraining small RBM #{0} ...\n'.format(rbm_id))
@@ -201,7 +211,7 @@ def make_large_weights(small_rbms):
 
 
 def make_grbm(X_train, X_val, small_rbms, args):
-    if os.path.isdir(args.grbm_dirpath):
+    if stage_cached(args.grbm_dirpath):
         print('\nLoading G-RBM ...\n')
         return GaussianRBM.load_model(args.grbm_dirpath)
     print('\nAssembling weights for large Gaussian RBM ...\n')
@@ -234,7 +244,7 @@ def make_grbm(X_train, X_val, small_rbms, args):
 
 
 def make_mrbm(Q_train, Q_val, args):
-    if os.path.isdir(args.mrbm_dirpath):
+    if stage_cached(args.mrbm_dirpath):
         print('\nLoading M-RBM ...\n')
         return MultinomialRBM.load_model(args.mrbm_dirpath)
     print('\nTraining M-RBM ...\n')
@@ -286,7 +296,7 @@ def make_rbm_transform(rbm, X, path, np_dtype=None):
 def make_dbm(data, rbms, particles, args):
     X_train, X_val = data
     Q, G = particles
-    if os.path.isdir(args.dbm_dirpath):
+    if stage_cached(args.dbm_dirpath):
         print('\nLoading DBM ...\n')
         dbm = DBM.load_model(args.dbm_dirpath)
         dbm.load_rbms(list(rbms))

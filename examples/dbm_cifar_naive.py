@@ -13,6 +13,7 @@ Reference result to match (README.md:256): 59.78% test accuracy.
 
 import argparse
 import os
+
 import sys
 
 import numpy as np
@@ -26,15 +27,22 @@ from boltzmann_machines_tpu.utils import (RNG, Stopwatch,
 from boltzmann_machines_tpu.utils.dataset import load_cifar10
 
 
+def stage_cached(dirpath):
+    """A stage is reusable only if a finished checkpoint exists --
+    a bare directory can be left behind by an interrupted run."""
+    return os.path.isfile(os.path.join(dirpath, 'params.json'))
+
 def load_data(args):
     try:
         X, y = load_cifar10(mode='train', path=args.data_path)
         X_test, y_test = load_cifar10(mode='test', path=args.data_path)
     except (IOError, OSError):
-        print('CIFAR-10 files not found; using synthetic stand-in data')
+        n = args.n_train + args.n_val
+        print('CIFAR-10 files not found; using %d synthetic stand-in rows'
+              % n)
         rng = RNG(42)
-        X = rng.rand(4096, 3072) * 255.
-        y = rng.randint(0, 10, 4096)
+        X = rng.rand(n, 3072) * 255.
+        y = rng.randint(0, 10, n)
         X_test = rng.rand(1024, 3072) * 255.
         y_test = rng.randint(0, 10, 1024)
     X = X.astype(np.float32) / 255.
@@ -71,7 +79,7 @@ def make_smoothing(X_train, n_train, args):
 
 
 def make_grbm(X_train, X_val, args):
-    if os.path.isdir(args.grbm_dirpath):
+    if stage_cached(args.grbm_dirpath):
         print('\nLoading G-RBM ...\n')
         return GaussianRBM.load_model(args.grbm_dirpath)
     print('\nTraining G-RBM ...\n')
@@ -102,7 +110,7 @@ def make_grbm(X_train, X_val, args):
 
 
 def make_mrbm(Q_train, Q_val, args):
-    if os.path.isdir(args.mrbm_dirpath):
+    if stage_cached(args.mrbm_dirpath):
         print('\nLoading M-RBM ...\n')
         return MultinomialRBM.load_model(args.mrbm_dirpath)
     print('\nTraining M-RBM ...\n')
@@ -144,7 +152,7 @@ def make_rbm_transform(rbm, X, path, np_dtype=None):
 def make_dbm(data, rbms, particles, args):
     X_train, X_val = data
     Q, G = particles
-    if os.path.isdir(args.dbm_dirpath):
+    if stage_cached(args.dbm_dirpath):
         print('\nLoading DBM ...\n')
         dbm = DBM.load_model(args.dbm_dirpath)
         dbm.load_rbms(list(rbms))

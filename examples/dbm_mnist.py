@@ -16,6 +16,7 @@ betas), test ELBO ~ -86.37, fine-tuned test error 1.32%.
 
 import argparse
 import os
+
 import sys
 
 import numpy as np
@@ -28,13 +29,20 @@ from boltzmann_machines_tpu.utils import RNG, Stopwatch, one_hot_decision_functi
 from boltzmann_machines_tpu.utils.dataset import load_mnist, make_synthetic_mnist
 
 
+def stage_cached(dirpath):
+    """A stage is reusable only if a finished checkpoint exists --
+    a bare directory can be left behind by an interrupted run."""
+    return os.path.isfile(os.path.join(dirpath, 'params.json'))
+
 def load_data(args):
     try:
         X, y = load_mnist(mode='train', path=args.data_path)
         X_test, y_test = load_mnist(mode='test', path=args.data_path)
     except (IOError, OSError):
         print('MNIST files not found; using synthetic stand-in data')
-        X, y = make_synthetic_mnist(8192)
+        # honor --n-train/--n-val so wall-clocks stay comparable
+        # with the reference's full-dataset scale
+        X, y = make_synthetic_mnist(args.n_train + args.n_val)
         X_test, y_test = make_synthetic_mnist(2048, seed=7)
     X = X / 255.
     X_test = X_test / 255.
@@ -46,7 +54,7 @@ def load_data(args):
 
 
 def make_rbm1(X, args):
-    if os.path.isdir(args.rbm1_dirpath):
+    if stage_cached(args.rbm1_dirpath):
         print('\nLoading RBM #1 ...\n')
         return BernoulliRBM.load_model(args.rbm1_dirpath)
     print('\nTraining RBM #1 ...\n')
@@ -75,7 +83,7 @@ def make_rbm1(X, args):
 
 
 def make_rbm2(Q, args):
-    if os.path.isdir(args.rbm2_dirpath):
+    if stage_cached(args.rbm2_dirpath):
         print('\nLoading RBM #2 ...\n')
         return BernoulliRBM.load_model(args.rbm2_dirpath)
     print('\nTraining RBM #2 ...\n')
@@ -115,7 +123,7 @@ def make_rbm2(Q, args):
 def make_dbm(data, rbms, transforms, args):
     X_train, X_val = data
     Q, G = transforms
-    if os.path.isdir(args.dbm_dirpath):
+    if stage_cached(args.dbm_dirpath):
         print('\nLoading DBM ...\n')
         dbm = DBM.load_model(args.dbm_dirpath)
         dbm.load_rbms(list(rbms))

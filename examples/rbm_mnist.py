@@ -14,6 +14,7 @@ fine-tuning; val PLL ~ -0.017 after 110 epochs.
 
 import argparse
 import os
+
 import sys
 
 import numpy as np
@@ -26,6 +27,11 @@ from boltzmann_machines_tpu.utils import RNG, Stopwatch, one_hot_decision_functi
 from boltzmann_machines_tpu.utils.dataset import load_mnist, make_synthetic_mnist
 
 
+def stage_cached(dirpath):
+    """A stage is reusable only if a finished checkpoint exists --
+    a bare directory can be left behind by an interrupted run."""
+    return os.path.isfile(os.path.join(dirpath, 'params.json'))
+
 def load_data(args):
     try:
         X, y = load_mnist(mode='train', path=args.data_path)
@@ -33,7 +39,9 @@ def load_data(args):
     except (IOError, OSError):
         print('MNIST files not found under {0}; using synthetic stand-in '
               'data (fetch the real dataset for paper numbers)'.format(args.data_path))
-        X, y = make_synthetic_mnist(8192)
+        # honor --n-train/--n-val so wall-clocks stay comparable
+        # with the reference's full-dataset scale
+        X, y = make_synthetic_mnist(args.n_train + args.n_val)
         X_test, y_test = make_synthetic_mnist(2048, seed=7)
     X = X / 255.
     X_test = X_test / 255.
@@ -46,7 +54,7 @@ def load_data(args):
 
 
 def make_rbm(X_train, X_val, args):
-    if os.path.isdir(args.model_dirpath):
+    if stage_cached(args.model_dirpath):
         print('\nLoading model ...\n')
         rbm = BernoulliRBM.load_model(args.model_dirpath)
     else:
