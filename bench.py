@@ -15,8 +15,17 @@ Two configurations are measured:
 
 MFU = model FLOPs/s / chip peak.  CD-1 runs 5 (B, V)x(V, H) matmuls per
 step (propup x2, propdown, positive+negative associations), i.e.
-10*V*H FLOP per sample, evaluated in float32; the peak used is the
-v5e bf16 figure (197 TFLOP/s), the canonical per-chip peak.
+10*V*H FLOP per sample, evaluated in float32.  Both normalizations are
+emitted: `mfu_bf16_peak` divides by the v5e bf16 figure (197 TFLOP/s,
+the canonical per-chip peak -- conservative for an f32 program) and
+`mfu_f32_peak` by half that (v5e has no separate f32 unit; f32 dots run
+at half bf16 rate through the MXU).
+
+The primary metric is also emitted under BASELINE.json's name,
+`gibbs_sweeps_per_sec_per_chip`: at CD-1 each training sample performs
+exactly one Gibbs sweep (one propup/sample + one propdown/sample +
+propup, reference base_rbm.py:415-479), so sweeps/s == samples/s, and
+the bench runs on a single chip.
 
 Prints ONE JSON line with the headline metric plus the auxiliary fields.
 """
@@ -85,13 +94,19 @@ def main():
     ref_cfg = measure(batch_size=10, n_samples=55000, n_epochs=2,
                       metrics_config=dict(msre=True, pll=True,
                                           train_metrics_every_iter=1000))
-    mfu = headline * FLOP_PER_SAMPLE / V5E_PEAK_FLOPS
+    mfu_bf16 = headline * FLOP_PER_SAMPLE / V5E_PEAK_FLOPS
     print(json.dumps({
         'metric': 'rbm_mnist_cd1_train_samples_per_sec',
         'value': round(headline, 1),
         'unit': 'samples/s',
         'vs_baseline': round(headline / BASELINE_SAMPLES_PER_SEC, 2),
-        'mfu': round(mfu, 4),
+        # BASELINE.json's primary metric name; CD-1 sweeps == samples
+        # (one Gibbs sweep per sample per update), single chip
+        'gibbs_sweeps_per_sec_per_chip': round(headline, 1),
+        'mfu_bf16_peak': round(mfu_bf16, 4),
+        'mfu_f32_peak': round(2. * mfu_bf16, 4),
+        'note': 'CD-1: gibbs sweeps/s == samples/s; mfu counts f32 model '
+                'FLOPs against bf16 peak (conservative) and f32 peak',
         'ref_config_batch10_samples_per_sec': round(ref_cfg, 1),
         'ref_config_batch10_vs_baseline':
             round(ref_cfg / BASELINE_SAMPLES_PER_SEC, 2),

@@ -36,16 +36,30 @@ def device_histogram(x, n_buckets=64):
     variables host-side)."""
     import jax.numpy as jnp
     x = x.ravel().astype(jnp.float32)
-    vmin, vmax = jnp.min(x), jnp.max(x)
+    # non-finite values would poison vmin/vmax (NaN->int cast is
+    # backend-dependent), corrupting the histogram exactly when training
+    # diverges -- the situation histograms exist to diagnose.  Finite
+    # entries histogram normally; NaN/Inf are counted separately so the
+    # summary still shows *that* (and how much) the tensor went bad.
+    finite = jnp.isfinite(x)
+    n_bad = jnp.sum(~finite).astype(jnp.int32)
+    xf = jnp.where(finite, x, jnp.float32(0))
+    big = jnp.float32(3.4e38)
+    vmin = jnp.min(jnp.where(finite, x, big))
+    vmax = jnp.max(jnp.where(finite, x, -big))
+    vmin = jnp.where(vmin > vmax, jnp.float32(0), vmin)  # all-bad tensor
+    vmax = jnp.where(vmax < vmin, jnp.float32(0), vmax)
     span = jnp.maximum(vmax - vmin, jnp.float32(1e-30))
-    idx = jnp.clip(((x - vmin) / span * n_buckets).astype(jnp.int32),
+    idx = jnp.clip(((xf - vmin) / span * n_buckets).astype(jnp.int32),
                    0, n_buckets - 1)
-    counts = jnp.zeros((n_buckets,), jnp.int32).at[idx].add(1)
+    counts = jnp.zeros((n_buckets,), jnp.int32).at[idx].add(
+        finite.astype(jnp.int32))
     # moments are f32 (XLA's tree reductions keep relative error ~1e-6
     # even at 10^8 elements; x64 may be disabled); `num` is recovered
     # host-side from the counts in int64
     return {'counts': counts, 'min': vmin, 'max': vmax,
-            'sum': jnp.sum(x), 'sum_sq': jnp.sum(x * x)}
+            'sum': jnp.sum(xf), 'sum_sq': jnp.sum(xf * xf),
+            'n_nonfinite': n_bad}
 
 
 def fetch_many(*arrays):
@@ -224,11 +238,16 @@ class JAXModel(BaseModel, DtypeMixin):
             if not os.path.exists(dirpath):
                 os.makedirs(dirpath)
 
-        # atomic writes: a crash mid-dump must not corrupt the checkpoint
-        tmp = self._params_filepath + '.tmp'
-        with open(tmp, 'w') as f:
-            json.dump(params, f, **self.json_params)
-        os.replace(tmp, self._params_filepath)
+        # atomic writes: a crash mid-dump must not corrupt the checkpoint.
+        # Commit ORDER matters: model.npz and random_state.json land first,
+        # params.json is renamed LAST -- it is the commit marker that the
+        # examples' stage caching and load_model key on, so a crash between
+        # renames leaves either the old complete checkpoint or no marker,
+        # never a marker pointing at stale/missing weights.
+        tmp = self._model_filepath + '.npz.tmp'
+        with open(tmp, 'wb') as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, self._model_filepath + '.npz')
 
         if rng_state is not None:
             tmp = self._random_state_filepath + '.tmp'
@@ -236,11 +255,10 @@ class JAXModel(BaseModel, DtypeMixin):
                 json.dump(rng_state, f)
             os.replace(tmp, self._random_state_filepath)
 
-        # atomic-ish write: npz to temp then rename
-        tmp = self._model_filepath + '.npz.tmp'
-        with open(tmp, 'wb') as f:
-            np.savez(f, **arrays)
-        os.replace(tmp, self._model_filepath + '.npz')
+        tmp = self._params_filepath + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(params, f, **self.json_params)
+        os.replace(tmp, self._params_filepath)
 
     def _save_model(self, global_step=None, arrays=None):
         """`arrays` lets callers reuse a host copy of the state fetched this
@@ -323,6 +341,13 @@ class JAXModel(BaseModel, DtypeMixin):
         if os.path.isfile(npz_path):
             with np.load(npz_path) as data:
                 model._set_state_arrays({k: data[k] for k in data.files})
+        elif getattr(model, 'initialized_', False):
+            # params.json (the commit marker) claims an initialized model but
+            # the weights are missing -- refuse to silently hand back a model
+            # with freshly-initialized weights (advisor round 2, medium)
+            raise IOError('checkpoint at {0} is marked initialized_ but '
+                          '{1} is missing'.format(paths['model_dirpath'],
+                                                  npz_path))
         return model
 
     # ------------------------------------------------------------------ #

@@ -623,9 +623,13 @@ class DBM(EnergyBasedModel):
         # replicated, which would silently all-gather tensor-parallel
         # weights onto every device.
         if self._state is not None:
+            # every leaf the shard_map in_specs declare replicated,
+            # including the sparsity accumulators (advisor round 2)
             params = ([self._state['vb']] + list(self._state['W'])
                       + list(self._state['hb']) + [self._state['dvb']]
-                      + list(self._state['dW']) + list(self._state['dhb']))
+                      + list(self._state['dW']) + list(self._state['dhb'])
+                      + list(self._state['q_means'])
+                      + list(self._state['mu_means']))
             if not all(_fully_replicated(p) for p in params):
                 return False
         return True
@@ -1085,6 +1089,8 @@ class DBM(EnergyBasedModel):
             pending += list(prog(self._state, full))
         if rem is not None:
             pending += list(prog(self._state, rem[None, ...]))
+        if not pending:  # degenerate staged val set (no rows at all)
+            return float('nan'), float('nan')
         fetched = fetch_many(*pending)  # alternating (msre, n_mf) pairs
         msres = np.concatenate(fetched[::2])
         n_mfs = np.concatenate(fetched[1::2])

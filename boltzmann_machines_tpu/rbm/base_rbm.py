@@ -903,6 +903,8 @@ class BaseRBM(EnergyBasedModel):
         if rem is not None:
             pending += list(prog(self._state, rem[None, ...], k,
                                  jax.random.fold_in(key, 1)))
+        if not pending:  # degenerate staged val set (no rows at all)
+            return {}
         fetched = fetch_many(*pending)  # alternating (msre, pll) pairs
         msres = np.concatenate(fetched[::2])
         plls = np.concatenate(fetched[1::2])

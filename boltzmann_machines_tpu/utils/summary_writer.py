@@ -220,6 +220,10 @@ class SummaryWriter(object):
         self.add_histogram_raw(tag, edges, counts, vmin, vmax, num,
                                float(stats['sum']),
                                float(stats['sum_sq']), step)
+        n_bad = int(stats.get('n_nonfinite', 0))
+        if n_bad:  # diverging run: surface the count instead of silently
+                   # dropping the values from the histogram
+            self.add_scalar(tag + '/n_nonfinite', n_bad, step)
 
     def flush(self):
         with self._lock:

@@ -86,3 +86,29 @@ def test_hidden_activation_image_summary(tmp_model_dir):
         data = f.read()
     assert b'hidden_activation_means' in data
     assert b'\x89PNG' in data
+
+
+def test_semi_supervised_driver_smoke(tmp_path):
+    """examples/semi_supervised.py runs the warm-vs-cold matrix end to end
+    and emits the README-style table (reference README.md:170-175,
+    docs/rbm_discriminative.md).  Smallest subset only, tiny epochs."""
+    import json
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('BMT_TEST_TPU', None)
+    out_md = str(tmp_path / 'table.md')
+    r = subprocess.run(
+        [sys.executable, 'semi_supervised.py', '--quick', '--subsets',
+         '100', '--model-dirpath', str(tmp_path / 'rbm') + '/',
+         '--out', out_md],
+        env=env, capture_output=True, text=True, timeout=420,
+        cwd=os.path.join(repo, 'examples'))
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(out_md) as f:
+        table = f.read()
+    assert 'random initialization' in table and '100 (90 + 10)' in table
+    with open(out_md.replace('.md', '.json')) as f:
+        data = json.load(f)
+    row = data['rows'][0]
+    assert 0. <= row['warm'] <= 1. and 0. <= row['cold'] <= 1.
