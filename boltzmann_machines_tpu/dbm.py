@@ -870,6 +870,76 @@ class DBM(EnergyBasedModel):
                 jnp.sum(jax.nn.softplus(jnp.asarray(base_rate, dtype=dtype)))
         return jax.jit(ais_fn)
 
+    def _ais_log_Z0(self, base_rate=None):
+        """log Z of the AIS base distribution p0 (v, h2 uniform; h1 uniform
+        or base-rate biased)."""
+        log_Z0 = (self.n_visible_ + self.n_hiddens_[1]) * np.log(2.)
+        if base_rate is None:
+            return log_Z0 + self.n_hiddens_[0] * np.log(2.)
+        return log_Z0 + float(np.sum(np.logaddexp(0., np.asarray(
+            base_rate, dtype=np.float64))))
+
+    def _reverse_ais_program(self, betas, base_rate=None):
+        """Reverse AIS -- the backward half of BDMC (Grosse, Ghahramani &
+        Adams 2015; Burda, Grosse & Salakhutdinov 2015).  No reference
+        counterpart (reference dbm.py:696-736 implements only the forward
+        direction).
+
+        Anneal model -> base starting from (approximate) model samples
+        `x0`.  Each bridge accumulates
+        ``log p~_{g_{t+1}}(x_t) - log p~_{g_t}(x_t)`` with the ladder `g`
+        DESCENDING 1 -> 0, and x_{t+1} ~ T_{g_{t+1}}(x_t), so
+        ``E[exp(w_rev)] = Z0 / Z1`` exactly when x0 ~ p1.  Hence
+        ``log Z0 - log_mean_exp(w_rev)`` is a stochastic UPPER bound on
+        log Z1 (Jensen), complementing the forward estimate's stochastic
+        LOWER bound: the pair brackets log Z even on peaked models where
+        the sigma-interval is undefined.  Returns the per-chain reverse
+        log-weights w_rev."""
+        betas = np.asarray(betas, dtype=np.float64)
+        assert betas[0] == 0. and betas[-1] == 1. and len(betas) >= 2
+        gammas = betas[::-1].copy()  # descending 1 -> 0
+        M = len(gammas) - 1
+
+        def rais_fn(state, k, key, x0):
+            dtype = x0.dtype
+            b0 = (None if base_rate is None
+                  else jnp.asarray(base_rate, dtype=dtype))
+            gts = jnp.asarray(gammas, dtype=dtype)
+
+            def scan_body(carry, inp):
+                w, x = carry
+                i, g, g_next = inp
+                w = w + self._ais_unnorm_log_prob_h1(state, x, g_next,
+                                                     b0=b0) \
+                    - self._ais_unnorm_log_prob_h1(state, x, g, b0=b0)
+                x_new = self._ais_transition(state, x, g_next, k,
+                                             jax.random.fold_in(key, i),
+                                             b0=b0)
+                return (w, x_new), None
+
+            idx = jnp.arange(M)
+            w0 = jnp.zeros((x0.shape[0],), dtype)
+            (w, _), _ = jax.lax.scan(scan_body, (w0, x0),
+                                     (idx, gts[:M], gts[1:M + 1]))
+            return w
+        return jax.jit(rais_fn)
+
+    def _model_h1_samples(self, n_runs, burn_in, key):
+        """Approximate samples from p1(h1): start from the persistent PCD
+        particles' first hidden layer (already near the model distribution
+        after training) tiled to n_runs, then burn in `burn_in` tempered
+        Gibbs sweeps at beta = 1."""
+        h1 = self._state['H'][0]
+        reps = int(np.ceil(n_runs / h1.shape[0]))
+        x0 = jnp.tile(h1, (reps, 1))[:n_runs].astype(self._jnp_dtype)
+        if self.sample_h_states[0]:
+            # particles may be mean-valued; binarize for the h1 state space
+            x0 = (x0 > 0.5).astype(self._jnp_dtype)
+        if burn_in > 0:
+            x0 = self._ais_transition(self._state, x0, 1., int(burn_in),
+                                      key)
+        return x0
+
     def _log_proba_program(self):
         """Variational lower bound -E(x, mu) + H(mu) (dbm.py:738-759)."""
         def lp_fn(state, X_batch):
@@ -1159,18 +1229,27 @@ class DBM(EnergyBasedModel):
         return v
 
     def log_Z(self, n_betas=100, n_runs=100, n_gibbs_steps=5,
-              beta_schedule='linear', base_rate=None):
+              beta_schedule='linear', base_rate=None,
+              bdmc=False, bdmc_burn_in=200):
         """AIS estimate of the log partition function for a 2-layer binary
         DBM: anneal on h1 with v, h2 summed out (dbm.py:899-939).
 
-        Robustness extensions beyond the reference (both default OFF for
+        Robustness extensions beyond the reference (all default OFF for
         parity): `beta_schedule='adaptive'` uses the Salakhutdinov-Murray
         ladder (dense near beta = 1); `base_rate` anneals from a
         non-uniform base p0(h1) propto exp(h1 . b0) -- pass an (H1,) array
-        or 'hidden_bias' to use the model's own first hidden biases.
+        or 'hidden_bias' to use the model's own first hidden biases;
+        `bdmc=True` additionally runs the annealing backward from
+        (approximate) model samples -- bidirectional Monte Carlo (Grosse
+        et al. 2015) -- whose estimate is a stochastic UPPER bound on
+        log Z, so the forward/backward pair brackets log Z with a DEFINED
+        gap even on peaked models where log(Z - sigma) does not exist.
 
         Returns (log_mean, (log_low, log_high), values) where low/high are
-        log(Z_mean -+ std(Z))."""
+        log(Z_mean -+ std(Z)).  With bdmc=True the interval is instead the
+        BDMC sandwich (forward estimate, reverse estimate) and `values`
+        is a dict with the per-chain forward/reverse log-weights and both
+        bounds."""
         self._ensure_state()
         assert self.n_layers_ == 2
         for L in [self._v_layer] + self._h_layers:
@@ -1223,6 +1302,25 @@ class DBM(EnergyBasedModel):
             values = np.asarray(prog(self._state, int(n_gibbs_steps), key, x0))
 
         log_mean = log_mean_exp(values)
+        if bdmc:
+            betas = make_beta_schedule(n_betas, beta_schedule)
+            rcache_key = ('rais', n_betas, beta_schedule,
+                          None if base_rate is None
+                          else hash(base_rate.tobytes()))
+            rprog = self._program(
+                rcache_key,
+                lambda: self._reverse_ais_program(betas, base_rate))
+            kb, kr = jax.random.split(jax.random.fold_in(key, 271828))
+            x1 = self._model_h1_samples(n_runs, bdmc_burn_in, kb)
+            w_rev = np.asarray(rprog(self._state, int(n_gibbs_steps), kr,
+                                     x1))
+            log_Z0 = self._ais_log_Z0(base_rate)
+            log_upper = log_Z0 - log_mean_exp(w_rev)
+            return log_mean, (log_mean, log_upper), {
+                'forward': values, 'reverse': w_rev,
+                'log_Z_lower': log_mean, 'log_Z_upper': log_upper,
+                'bdmc_gap': log_upper - log_mean,
+            }
         log_std = log_std_exp(values, log_mean_exp_x=log_mean)
         log_high = log_sum_exp([log_std, log_mean])
         log_low = log_diff_exp([log_std, log_mean])[0]

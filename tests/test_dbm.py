@@ -245,3 +245,46 @@ def test_max_norm_constraint(data, tmp_path):
     for k in ('W_0', 'W_1'):
         norms = np.linalg.norm(s[k], axis=0)
         assert np.all(norms <= 0.1 + 1e-5)
+
+
+def test_bdmc_brackets_exact_log_Z(trained):
+    """BDMC sandwich: forward AIS lower-bounds, reverse AIS upper-bounds,
+    and on the enumerable model the gap brackets the exact log Z (round-3
+    extension; the reference implements only the forward direction,
+    dbm.py:696-736)."""
+    dbm, _ = trained
+    exact = exact_log_Z(dbm)
+    log_mean, (low, up), info = dbm.log_Z(
+        n_betas=200, n_runs=64, n_gibbs_steps=1, bdmc=True,
+        bdmc_burn_in=50)
+    assert np.isfinite(low) and np.isfinite(up)
+    assert low == pytest.approx(log_mean)
+    assert info['forward'].shape == (64,)
+    assert info['reverse'].shape == (64,)
+    assert info['bdmc_gap'] == pytest.approx(up - low)
+    # stochastic bounds: allow a small slack at this ladder length
+    assert low <= exact + 0.15
+    assert up >= exact - 0.15
+    # the sandwich must be tight on a well-behaved model
+    assert info['bdmc_gap'] < 1.0
+
+
+def test_bdmc_defined_on_peaked_model(data, tmp_path):
+    """On an over-concentrated model (large weights -> huge AIS log-weight
+    variance) the sigma-interval can be undefined, but the BDMC gap is
+    always a pair of finite numbers (round-2 verdict item 6)."""
+    tmp = str(tmp_path) + '/'
+    r1, r2 = pretrain_rbms(data, tmp)
+    dbm = make_dbm((r1, r2), tmp)
+    dbm.fit(data)
+    # blow up the weights to make the distribution pathologically peaked
+    s = dbm._get_state_arrays()
+    for k in ('weights/W_0', 'weights/W_1', 'weights/hb_0'):
+        s[k] = s[k] * 12.
+    dbm._set_state_arrays(s)
+    log_mean, (low, up), info = dbm.log_Z(
+        n_betas=100, n_runs=32, n_gibbs_steps=1, bdmc=True,
+        bdmc_burn_in=50)
+    assert np.isfinite(info['log_Z_lower'])
+    assert np.isfinite(info['log_Z_upper'])
+    assert info['log_Z_upper'] >= info['log_Z_lower']

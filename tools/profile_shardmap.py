@@ -88,11 +88,29 @@ def main():
 
     results = {}
 
+    def report(name, dt):
+        results[name] = dt
+        print('%-16s %10.4f s  %12.0f samples/s  %8.1f us/step'
+              % (name, dt, n_samples / dt, dt / NB * 1e6), flush=True)
+
+    # NB: the epoch programs donate their state argument, so every variant
+    # THREADS the returned state back in (never reuses a donated buffer)
+    def bench_threaded(prog_call, state0, reps):
+        state = prog_call(state0)  # compile
+        sync(state)
+        best = float('inf')
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = prog_call(state)
+            sync(state)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # 1) fused whole-epoch kernel ------------------------------------- #
     prog = rbm._pallas_epoch_program(1, NB)
-    dt = bench(lambda: prog(rbm._state, full, 0.05, 0.9, 1, 0)[0],
-               reps=args.reps)
-    results['whole_epoch'] = dt
+    report('whole_epoch', bench_threaded(
+        lambda st: prog(st, full, 0.05, 0.9, 1, 0)[0], rbm._state,
+        args.reps))
 
     # 2) stats kernel + XLA update in a plain jitted scan -------------- #
     stats_fn = make_cd_stats_kernel(
@@ -111,8 +129,8 @@ def main():
         (state, _), _ = jax.lax.scan(body, (state, 0), Xb)
         return state
 
-    results['stats_scan'] = bench(stats_scan, rbm._state, full,
-                                  reps=args.reps)
+    report('stats_scan', bench(stats_scan, rbm._state, full,
+                               reps=args.reps))
 
     # 3) stats kernel only (no update) --------------------------------- #
     @jax.jit
@@ -125,8 +143,8 @@ def main():
         (state, _), s = jax.lax.scan(body, (state, 0), Xb)
         return state, s
 
-    results['stats_only'] = bench(stats_only, rbm._state, full,
-                                  reps=args.reps)
+    report('stats_only', bench(stats_only, rbm._state, full,
+                               reps=args.reps))
 
     # 4) shard_map 1-device mesh, metrics effectively off, minimal body  #
     mrbm = fresh(mesh=True)
@@ -146,17 +164,22 @@ def main():
     sm = jax.jit(jax.shard_map(
         sm_body, mesh=mesh, in_specs=(P(), P(None, 'data', None)),
         out_specs=P(), check_vma=False))
-    results['shardmap_nm'] = bench(sm, mrbm._state, full, reps=args.reps)
+    report('shardmap_nm', bench(sm, mrbm._state, full, reps=args.reps))
 
-    # 5) the production shard_map epoch -------------------------------- #
+    # 5) the production shard_map epoch (donates state -- thread it) --- #
     sprog = mrbm._shardmap_epoch_program(1)
-    def run_full():
-        return sprog(mrbm._state, full, 0.05, 0.9, 1, key, 0)[0]
-    results['shardmap_full'] = bench(run_full, reps=args.reps)
+    report('shardmap_full', bench_threaded(
+        lambda st: sprog(st, full, 0.05, 0.9, 1, key, 0)[0],
+        mrbm._state, args.reps))
+    mrbm._state = None  # donated away
 
     if args.trace:
+        frbm = fresh(mesh=True)
+        tprog = frbm._shardmap_epoch_program(1)
+        st = tprog(frbm._state, full, 0.05, 0.9, 1, key, 0)[0]  # compile
+        sync(st)
         with jax.profiler.trace(args.trace):
-            sync(run_full())
+            sync(tprog(st, full, 0.05, 0.9, 1, key, 0)[0])
 
     # 6) pure-XLA stats + update scan ---------------------------------- #
     xrbm = fresh()
@@ -172,13 +195,7 @@ def main():
         (state, _), _ = jax.lax.scan(body, (state, 0), Xb)
         return state
 
-    results['xla_scan'] = bench(xla_scan, xrbm._state, full, reps=args.reps)
-
-    print('%-16s %10s %14s %12s' % ('variant', 'epoch_s', 'samples/s',
-                                    'us/step'))
-    for name, dt in results.items():
-        print('%-16s %10.4f %14.0f %12.1f'
-              % (name, dt, n_samples / dt, dt / NB * 1e6))
+    report('xla_scan', bench(xla_scan, xrbm._state, full, reps=args.reps))
 
 
 if __name__ == '__main__':
