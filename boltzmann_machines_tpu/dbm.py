@@ -1076,82 +1076,109 @@ class DBM(EnergyBasedModel):
                     use_pallas = False
                     epoch_prog = self._program('train_epoch',
                                                self._train_epoch_program)
-            if use_pallas and full.shape[0] > 0:
-                seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
+            iter0 = self.iter_
+            parts = []
+            n_full = int(full.shape[0])
+            if use_pallas and n_full > 0:
+                # host-cached per-epoch kernel seed (one dispatch for all
+                # epochs; the per-epoch randint readback costs a round
+                # trip on remote backends)
+                seed = self._epoch_seed(self._fit_key, self.epoch_)
                 self._state, msres, n_mfs = prog(self._state, full, lr, mom,
                                                  seed)
-                self.iter_ += int(full.shape[0])
+                self.iter_ += n_full
+                parts = [msres, n_mfs]
             elif use_pallas:
                 # zero full batches: grid-step-0 state DMA would never run;
                 # only the remainder step below trains
-                msres = np.zeros((0,), np.float32)
-                n_mfs = np.zeros((0,), np.float32)
+                n_full = 0
             else:
                 if use_shardmap:
                     epoch_prog = self._program(
                         ('shardmap_epoch', k),
                         lambda k=k: self._shardmap_epoch_program(k))
                 self._state, it, (msres, n_mfs) = epoch_prog(
-                    self._state, full, lr, mom, k, ekey, self.iter_)
-                self.iter_ = int(it)
-            msres, n_mfs = fetch_many(msres, n_mfs)
+                    self._state, full, lr, mom, k, ekey, iter0)
+                # the scan increments once per batch; no scalar readback
+                self.iter_ += n_full
+                parts = [msres, n_mfs]
+            iters = iter0 + 1 + np.arange(n_full)
             if rem is not None:
                 self.iter_ += 1
                 self._state, (m, n) = step_prog(self._state, rem, lr, mom, k,
                                                 ekey, self.iter_)
-                m, n = fetch_many(m, n)
-                msres = np.append(msres, m)
-                n_mfs = np.append(n_mfs, n)
+                if not parts:
+                    parts = [np.zeros((0,), np.float32)] * 2
+                parts += [m, n]
+                iters = np.append(iters, self.iter_)
 
             # reference logs metrics every `train_metrics_every_iter` steps
-            iters = self.iter_ - len(msres) + 1 + np.arange(len(msres))
+            # -- pure host arithmetic, no device readback
             mask = (iters % self.train_metrics_every_iter) == 0
-            train_msre = float(msres[mask].mean()) if mask.any() else None
-            train_n_mf = float(n_mfs[mask].mean()) if mask.any() else None
-
-            val_msre = val_n_mf = None
+            pend_val = None
             if X_val is not None and \
                     self.epoch_ % self.val_metrics_every_epoch == 0:
-                val_msre, val_n_mf = self._run_val_metrics(staged_val)
+                pend_val = self._dispatch_val_metrics(staged_val)
 
             # summaries reduce on device (KB-scale fetch); only checkpoint
             # epochs fetch the full state.  Histograms/images only when a
             # train step was logged this epoch
-            want_summaries = train_msre is not None and \
+            want_summaries = bool(mask.any()) and \
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \
                 self.epoch_ % self.checkpoint_every_epoch == 0
-            if want_summaries or want_ckpt:
-                self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
+            # metric readbacks + scalar writes + the verbose line run on
+            # the async pipeline, overlapped with the next epoch on device
+            finish = self._make_epoch_finisher(parts, mask, n_full,
+                                               pend_val)
+            self._submit_epoch_host_work(aw, want_summaries, want_ckpt,
+                                         extra_work=finish)
+
+    def _make_epoch_finisher(self, parts, mask, n_full, pend_val):
+        epoch_no = self.epoch_
+        step = self.iter_
+
+        def finish():
+            train_msre = train_n_mf = None
+            if parts and mask.any():
+                fetched = fetch_many(*parts)
+                msres = np.asarray(fetched[0]).reshape(-1)[:n_full]
+                n_mfs = np.asarray(fetched[1]).reshape(-1)[:n_full]
+                if len(fetched) > 2:  # remainder step scalars
+                    msres = np.append(msres, np.asarray(fetched[2]))
+                    n_mfs = np.append(n_mfs, np.asarray(fetched[3]))
+                train_msre = float(msres[mask].mean())
+                train_n_mf = float(n_mfs[mask].mean())
+            val_msre = val_n_mf = None
+            if pend_val is not None:
+                val_msre, val_n_mf = self._finish_val_metrics(pend_val)
             if train_msre is not None:
                 self._train_writer.add_scalar('mean_squared_recon_error',
-                                              train_msre, self.iter_)
-            if train_n_mf is not None:
+                                              train_msre, step)
                 self._train_writer.add_scalar('n_mf_updates', train_n_mf,
-                                              self.iter_)
-            if val_msre is not None:
+                                              step)
+            if val_msre is not None and np.isfinite(val_msre):
                 self._val_writer.add_scalar('mean_squared_recon_error',
-                                            val_msre, self.iter_)
-            if val_n_mf is not None:
-                self._val_writer.add_scalar('n_mf_updates', val_n_mf,
-                                            self.iter_)
+                                            val_msre, step)
+                self._val_writer.add_scalar('n_mf_updates', val_n_mf, step)
             self._train_writer.flush()
             self._val_writer.flush()
 
             if self.verbose:
                 s = 'epoch: {0:{1}}/{2}'.format(
-                    self.epoch_, len(str(self.max_epoch)), self.max_epoch)
+                    epoch_no, len(str(self.max_epoch)), self.max_epoch)
                 if train_msre is not None:
                     s += '; msre: {0:.5f}'.format(train_msre)
                 if train_n_mf is not None:
                     s += '; n_mf_upds: {0:.1f}'.format(train_n_mf)
-                if val_msre is not None:
+                if val_msre is not None and np.isfinite(val_msre):
                     s += '; val.msre: {0:.5f}'.format(val_msre)
-                if val_n_mf is not None:
                     s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
                 write_during_training(s)
 
-    def _run_val_metrics(self, staged_val):
+        return finish
+
+    def _dispatch_val_metrics(self, staged_val):
         prog = self._program('val', self._val_metrics_program)
         full, rem, _ = staged_val
         pending = []
@@ -1159,12 +1186,21 @@ class DBM(EnergyBasedModel):
             pending += list(prog(self._state, full))
         if rem is not None:
             pending += list(prog(self._state, rem[None, ...]))
+        return pending
+
+    @staticmethod
+    def _finish_val_metrics(pending):
         if not pending:  # degenerate staged val set (no rows at all)
             return float('nan'), float('nan')
         fetched = fetch_many(*pending)  # alternating (msre, n_mf) pairs
         msres = np.concatenate(fetched[::2])
-        n_mfs = np.concatenate(fetched[1::2])
+        n_mfs = np.concatenate([np.atleast_1d(np.asarray(f))
+                                for f in fetched[1::2]])
         return float(np.mean(msres)), float(np.mean(n_mfs))
+
+    def _run_val_metrics(self, staged_val):
+        return self._finish_val_metrics(
+            self._dispatch_val_metrics(staged_val))
 
     # ================================================================== #
     # public API                                                          #

@@ -780,47 +780,39 @@ class BaseRBM(EnergyBasedModel):
         mom = float(schedule_value(self.momentum, self.epoch_))
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
         ekey = jax.random.fold_in(base_key, self.epoch_)
-        seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
+        # host-cached seed (bitwise-identical to the per-epoch randint,
+        # computed for all epochs in ONE dispatch -- see _epoch_seed)
+        seed = self._epoch_seed(base_key, self.epoch_)
 
         iter0 = self.iter_
-        if full.shape[0] > 0:
+        n_full = int(full.shape[0])
+        parts = []
+        if n_full > 0:
             prog = self._program(
-                ('pallas_epoch', k, full.shape[0]),
-                lambda: self._pallas_epoch_program(k, full.shape[0]))
+                ('pallas_epoch', k, n_full),
+                lambda: self._pallas_epoch_program(k, n_full))
             if prog is None:
                 return None  # caller falls back to the XLA path
             self._state, msre_s, pll_s, l2_s = prog(self._state, full, lr,
                                                     mom, seed, iter0)
-            self.iter_ += int(full.shape[0])
-            msre_s, pll_s, l2_s = fetch_many(msre_s, pll_s, l2_s)
+            self.iter_ += n_full
+            parts = [msre_s, pll_s, l2_s]
         else:
             # zero full batches: the kernel's grid-step-0 state DMA would
             # never run -- only the remainder step below trains
-            msre_s = np.zeros((0,), np.float32)
-            pll_s = np.zeros((0,), np.float32)
-            l2_s = np.zeros((0,), np.float32)
-        iters = iter0 + 1 + np.arange(len(msre_s))
-        mask = (iters % self.metrics_config['train_metrics_every_iter']) == 0
+            n_full = 0
+        iters = iter0 + 1 + np.arange(n_full)
 
         if rem is not None:
             self.iter_ += 1
             self._state, m = step_prog(self._state, rem, lr, mom, k, ekey,
                                        self.iter_)
-            m = fetch_many(*m)
-            msre_s = np.append(msre_s, m[0])
-            pll_s = np.append(pll_s, m[1])
-            l2_s = np.append(l2_s, m[2])
-            mask = np.append(mask, m[3].astype(bool))
-
-        results = {}
-        if mask.any():
-            if self.metrics_config['msre']:
-                results['msre'] = float(msre_s[mask].mean())
-            if self.metrics_config['pll']:
-                results['pll'] = float(pll_s[mask].mean())
-            if self.metrics_config['l2_loss']:
-                results['l2_loss'] = float(l2_s[mask].mean())
-        return results
+            if not parts:
+                parts = [np.zeros((0,), np.float32)] * 3
+            parts += list(m[:3])
+            iters = np.append(iters, self.iter_)
+        mask = (iters % self.metrics_config['train_metrics_every_iter']) == 0
+        return {'parts': parts, 'mask': mask, 'n_full': n_full}
 
     # ================================================================== #
     # data staging                                                        #
@@ -861,38 +853,62 @@ class BaseRBM(EnergyBasedModel):
     # fit / metrics loops                                                 #
     # ================================================================== #
     def _train_epoch(self, epoch_prog, step_prog, full, rem, base_key):
+        """Dispatch one training epoch; returns a PENDING metrics record
+        (device arrays + host-side log mask) without fetching -- the
+        device->host readbacks run on the async epoch pipeline so the
+        training thread never blocks on the link (each blocking fetch
+        costs a round trip on remote-attached TPUs)."""
         lr = float(schedule_value(self.learning_rate, self.epoch_))
         mom = float(schedule_value(self.momentum, self.epoch_))
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
         ekey = jax.random.fold_in(base_key, self.epoch_)
 
+        iter0 = self.iter_
         self._state, it, stacked = epoch_prog(
-            self._state, full, lr, mom, k, ekey, self.iter_)
-        self.iter_ = int(it)
+            self._state, full, lr, mom, k, ekey, iter0)
+        # the scan increments exactly once per full batch -- no need to
+        # fetch `it` (a blocking scalar readback)
+        self.iter_ += int(full.shape[0])
 
-        msre_s, pll_s, l2_s, mask = fetch_many(*stacked)
+        parts = list(stacked[:3])  # msre, pll, l2 device arrays
+        iters = iter0 + 1 + np.arange(int(full.shape[0]))
         if rem is not None:
             self.iter_ += 1
             self._state, m = step_prog(self._state, rem, lr, mom, k, ekey,
                                        self.iter_)
-            m = fetch_many(*m)
-            msre_s = np.append(msre_s, m[0])
-            pll_s = np.append(pll_s, m[1])
-            l2_s = np.append(l2_s, m[2])
-            mask = np.append(mask, m[3])
+            parts += list(m[:3])
+            iters = np.append(iters, self.iter_)
+        mask = (iters % self.metrics_config['train_metrics_every_iter']) == 0
+        return {'parts': parts, 'mask': mask,
+                'n_full': int(full.shape[0])}
 
+    def _finish_train_metrics(self, pending):
+        """Fetch + reduce a `_train_epoch`/`_train_epoch_pallas` pending
+        record into the train-results dict (runs on the async worker)."""
+        if pending is None or not len(pending['mask']):
+            return {}
+        mask = pending['mask']
+        if not mask.any():
+            return {}
+        fetched = fetch_many(*pending['parts'])
+        n = pending['n_full']
+        cols = []
+        for i in range(3):  # msre, pll, l2: epoch array (+ remainder scalar)
+            col = np.asarray(fetched[i]).reshape(-1)[:n]
+            if len(fetched) > 3:
+                col = np.append(col, np.asarray(fetched[3 + i]))
+            cols.append(col)
         results = {}
-        mask = mask.astype(bool)
-        if mask.any():
-            if self.metrics_config['msre']:
-                results['msre'] = float(msre_s[mask].mean())
-            if self.metrics_config['pll']:
-                results['pll'] = float(pll_s[mask].mean())
-            if self.metrics_config['l2_loss']:
-                results['l2_loss'] = float(l2_s[mask].mean())
+        if self.metrics_config['msre']:
+            results['msre'] = float(cols[0][mask].mean())
+        if self.metrics_config['pll']:
+            results['pll'] = float(cols[1][mask].mean())
+        if self.metrics_config['l2_loss']:
+            results['l2_loss'] = float(cols[2][mask].mean())
         return results
 
-    def _run_val_metrics(self, staged_val):
+    def _dispatch_val_metrics(self, staged_val):
+        """Dispatch (without fetching) the validation metric programs."""
         prog = self._program('val', self._val_metrics_program)
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
         key = jax.random.fold_in(self._fit_key, 100000 + self.epoch_)
@@ -903,6 +919,9 @@ class BaseRBM(EnergyBasedModel):
         if rem is not None:
             pending += list(prog(self._state, rem[None, ...], k,
                                  jax.random.fold_in(key, 1)))
+        return pending
+
+    def _finish_val_metrics(self, pending):
         if not pending:  # degenerate staged val set (no rows at all)
             return {}
         fetched = fetch_many(*pending)  # alternating (msre, pll) pairs
@@ -915,7 +934,15 @@ class BaseRBM(EnergyBasedModel):
             results['pll'] = float(np.mean(plls))
         return results
 
+    def _run_val_metrics(self, staged_val):
+        return self._finish_val_metrics(
+            self._dispatch_val_metrics(staged_val))
+
     def _run_feg(self, staged_train, staged_val):
+        return self._finish_feg(self._dispatch_feg(staged_train,
+                                                   staged_val))
+
+    def _dispatch_feg(self, staged_train, staged_val):
         """Free-energy gap between a fixed number of train and validation
         batches -- an overfitting monitor (base_rbm.py:592-621).  Both sets
         are pre-staged device arrays; each side is ONE scan dispatch (the
@@ -939,8 +966,12 @@ class BaseRBM(EnergyBasedModel):
 
         val_parts = fe_parts(staged_val, jax.random.fold_in(key, 1))
         train_parts = fe_parts(staged_train, jax.random.fold_in(key, 0))
-        fetched = fetch_many(*(val_parts + train_parts))
-        nv = len(val_parts)
+        return val_parts + train_parts, len(val_parts)
+
+    @staticmethod
+    def _finish_feg(pending):
+        parts, nv = pending
+        fetched = fetch_many(*parts)
         val_fe = np.mean(np.concatenate([f.ravel() for f in fetched[:nv]]))
         train_fe = np.mean(np.concatenate([f.ravel() for f in fetched[nv:]]))
         return val_fe - train_fe
@@ -984,29 +1015,29 @@ class BaseRBM(EnergyBasedModel):
                                     self.display_filters)
             self._train_writer.add_image('W_filters', img, step)
 
-    def _write_hidden_activations(self, full, rem):
-        """(batch x display_hidden_activations) image of the chain-end
-        hidden activation means of one minibatch -- reference
-        base_rbm.py:429-435 streams this with the merged train summaries;
-        here it follows the same logged-step cadence (once per epoch that
-        logged train metrics)."""
+    def _dispatch_hidden_activations(self, full, rem):
+        """Dispatch the hidden-activation probe (no fetch); the image is
+        encoded on the async worker (reference base_rbm.py:429-435 streams
+        this with the merged train summaries at the same cadence)."""
         if full.shape[0]:
             probe = full[0]
         elif rem is not None:
             probe = rem
         else:
-            return
+            return None
         prog = self._program('transform', self._transform_program)
         k = int(schedule_value(self.n_gibbs_steps, self.epoch_))
         key = jax.random.fold_in(self._fit_key, 300000 + self.epoch_)
-        h = np.asarray(prog(self._state, probe, k, key))
-        h = h[:, :self.display_hidden_activations]
+        h = prog(self._state, probe, k, key)
+        return h[:, :self.display_hidden_activations]
+
+    def _write_hidden_activations_img(self, h_dev, step):
+        h = np.asarray(h_dev)
         mx = float(h.max())
         if mx > 1.:  # e.g. multinomial expected counts
             h = h / mx
         img = (np.clip(h, 0., 1.) * 255.).astype(np.uint8)
-        self._train_writer.add_image('hidden_activation_means', img,
-                                     self.iter_)
+        self._train_writer.add_image('hidden_activation_means', img, step)
 
     def _fit(self, X, X_val=None, *args, **kwargs):
         self._fit_key = self.make_prng_key()
@@ -1038,61 +1069,83 @@ class BaseRBM(EnergyBasedModel):
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):
-            val_results = {}
-            feg = None
-            train_results = None
+            pend_train = None
             if use_pallas:
-                train_results = self._train_epoch_pallas(step_prog, full,
-                                                         rem, self._fit_key)
-                if train_results is None:  # kernel declined (VMEM budget)
+                pend_train = self._train_epoch_pallas(step_prog, full,
+                                                      rem, self._fit_key)
+                if pend_train is None:  # kernel declined (VMEM budget)
                     use_pallas = False
                     epoch_prog = self._program('train_epoch',
                                                self._train_epoch_program)
-            if train_results is None:
+            if pend_train is None:
                 if use_shardmap:
                     kk = int(schedule_value(self.n_gibbs_steps, self.epoch_))
                     epoch_prog = self._program(
                         ('shardmap_epoch', kk),
                         lambda kk=kk: self._shardmap_epoch_program(kk))
-                train_results = self._train_epoch(epoch_prog, step_prog, full,
-                                                  rem, self._fit_key)
+                pend_train = self._train_epoch(epoch_prog, step_prog, full,
+                                               rem, self._fit_key)
 
+            pend_val = None
+            pend_feg = None
             if X_val is not None and \
                     self.epoch_ % self.metrics_config['val_metrics_every_epoch'] == 0:
-                val_results = self._run_val_metrics(staged_val)
+                pend_val = self._dispatch_val_metrics(staged_val)
             if X_val is not None and self.metrics_config['feg'] and \
                     self.epoch_ % self.metrics_config['feg_every_epoch'] == 0:
-                feg = self._run_feg(staged_train, staged_val)
+                pend_feg = self._dispatch_feg(staged_train, staged_val)
 
-            # summaries reduce on device (KB-scale fetch); only checkpoint
-            # epochs fetch the full state.  Histograms/images follow the
-            # reference's cadence (only when a merged-summary train step
-            # was logged this epoch)
-            want_summaries = bool(train_results) and \
+            # whether this epoch logged train metrics is pure host
+            # arithmetic on iteration numbers -- no device readback needed
+            logged = bool(pend_train['mask'].any())
+            want_summaries = logged and \
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \
                 self.epoch_ % self.checkpoint_every_epoch == 0
+            pend_hidden = None
             if want_summaries and self.display_hidden_activations:
-                # needs a device program against the live state -- stays on
-                # the training thread (the probe fetch is small)
-                self._write_hidden_activations(full, rem)
-            if want_summaries or want_ckpt:
-                self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
+                pend_hidden = self._dispatch_hidden_activations(full, rem)
+
+            # ALL device->host metric readbacks + summary-scalar writes +
+            # the verbose epoch line run on the async pipeline, overlapped
+            # with the next epoch's device execution
+            finish = self._make_epoch_finisher(pend_train, pend_val,
+                                               pend_feg, pend_hidden)
+            self._submit_epoch_host_work(aw, want_summaries, want_ckpt,
+                                         extra_work=finish)
+
+    def _make_epoch_finisher(self, pend_train, pend_val, pend_feg,
+                             pend_hidden=None):
+        """Closure for the async worker: fetch this epoch's pending metric
+        arrays, write the scalar summaries, and emit the verbose line.
+        Snapshot epoch/step NOW -- the training thread advances them while
+        the worker runs."""
+        epoch_no = self.epoch_
+        step = self.iter_
+
+        def finish():
+            if pend_hidden is not None:
+                self._write_hidden_activations_img(pend_hidden, step)
+            train_results = self._finish_train_metrics(pend_train)
+            val_results = self._finish_val_metrics(pend_val) \
+                if pend_val is not None else {}
+            feg = self._finish_feg(pend_feg) if pend_feg is not None \
+                else None
             for m, v in train_results.items():
                 self._train_writer.add_scalar(self._metrics_names_map[m], v,
-                                              self.iter_)
+                                              step)
             for m, v in val_results.items():
                 self._val_writer.add_scalar(self._metrics_names_map[m], v,
-                                            self.iter_)
+                                            step)
             if feg is not None:
                 self._val_writer.add_scalar(self._metrics_names_map['feg'],
-                                            feg, self.iter_)
+                                            feg, step)
             self._train_writer.flush()
             self._val_writer.flush()
 
             if self.verbose:
                 s = 'epoch: {0:{1}}/{2}'.format(
-                    self.epoch_, len(str(self.max_epoch)), self.max_epoch)
+                    epoch_no, len(str(self.max_epoch)), self.max_epoch)
                 for m, v in sorted(train_results.items()):
                     s += '; {0}: {1:{2}}'.format(m, v, self.metrics_config[m + '_fmt'])
                 for m, v in sorted(val_results.items()):
@@ -1100,6 +1153,8 @@ class BaseRBM(EnergyBasedModel):
                 if feg is not None:
                     s += ' ; feg: {0:{1}}'.format(feg, self.metrics_config['feg_fmt'])
                 write_during_training(s)
+
+        return finish
 
     # ================================================================== #
     # public API                                                          #

@@ -47,6 +47,19 @@ def real_mnist_available(path=None):
         return False
 
 
+def real_cifar_available(path=None):
+    """True when the genuine CIFAR-10 python batches are on disk: the
+    first five labels of data_batch_1 are 6, 9, 9, 4, 1."""
+    try:
+        dirpath = os.path.join(resolve_data_dir(path),
+                               'cifar-10-batches-py/')
+        with open(os.path.join(dirpath, 'data_batch_1'), 'rb') as f:
+            d = pickle.load(f, encoding='latin1')
+        return list(d['labels'][:5]) == [6, 9, 9, 4, 1]
+    except (IOError, OSError, ValueError, KeyError):
+        return False
+
+
 def load_mnist(mode='train', path=None):
     """Load MNIST from raw IDX files.
 

@@ -219,6 +219,9 @@ def make_mlp(train, val, test, weights, args):
     np.save(args.mlp_save_prefix + 'y_pred.npy', y_pred)
     np.save(args.mlp_save_prefix + 'y_test.npy', np.asarray(y_test))
     np.save(args.mlp_save_prefix + 'W_finetuned.npy', mlp.get_weights(0)[0])
+    import json
+    with open(args.mlp_save_prefix + 'accuracy.json', 'w') as f:
+        json.dump({'test_accuracy': acc}, f)
 
 
 def main():
@@ -280,19 +283,24 @@ def main():
 
     grbm = make_grbm(X_train_s, X_val_s, args)
 
-    print('\nExtracting G-RBM features ...\n')
-    Q_train = make_rbm_transform(grbm, X_train_s,
-                                 os.path.join(args.data_path, 'Q_train_naive.npy'))
-    Q_val = make_rbm_transform(grbm, X_val_s,
-                               os.path.join(args.data_path, 'Q_val_naive.npy'))
+    # --epochs G 0 0 runs the G-RBM + fine-tune slice only (the reference's
+    # 59.78% accuracy is the G-RBM classifier, README.md:256; the M-RBM/DBM
+    # stages only feed the generative model)
+    if args.epochs[1] > 0:
+        print('\nExtracting G-RBM features ...\n')
+        Q_train = make_rbm_transform(grbm, X_train_s,
+                                     os.path.join(args.data_path, 'Q_train_naive.npy'))
+        Q_val = make_rbm_transform(grbm, X_val_s,
+                                   os.path.join(args.data_path, 'Q_val_naive.npy'))
 
-    mrbm = make_mrbm(Q_train, Q_val, args)
+        mrbm = make_mrbm(Q_train, Q_val, args)
 
-    print('\nExtracting M-RBM features ...\n')
-    G_train = make_rbm_transform(mrbm, Q_train,
-                                 os.path.join(args.data_path, 'G_train_naive.npy'))
+        if args.epochs[2] > 0:
+            print('\nExtracting M-RBM features ...\n')
+            G_train = make_rbm_transform(mrbm, Q_train,
+                                         os.path.join(args.data_path, 'G_train_naive.npy'))
 
-    make_dbm((X_train_s, X_val_s), (grbm, mrbm), (Q_train, G_train), args)
+            make_dbm((X_train_s, X_val_s), (grbm, mrbm), (Q_train, G_train), args)
 
     print('\nDiscriminative fine-tuning ...\n')
     W = hb = None

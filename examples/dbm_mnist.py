@@ -234,6 +234,9 @@ def main():
     parser.add_argument('--n-betas', type=int, default=20000,
                         help='number of AIS intermediate distributions (0 to skip)')
     parser.add_argument('--n-ais-runs', type=int, default=100)
+    parser.add_argument('--ais-save-path', type=str, default=None,
+                        help='npz path for {log_Z, log_low, log_high, '
+                             'avg_test_elbo} (quality-parity gate hook)')
     parser.add_argument('--mlp-no-init', action='store_true')
     parser.add_argument('--mlp-l2', type=float, default=1e-5)
     parser.add_argument('--mlp-lrm', type=float, default=(0.01, 0.1, 1.), nargs='+')
@@ -269,6 +272,12 @@ def main():
             log_mean, log_low, log_high))
         elbo = dbm.log_proba(X_test, log_mean)
         print('average test ELBO = {0:.2f}'.format(float(elbo.mean())))
+        if args.ais_save_path:
+            os.makedirs(os.path.dirname(args.ais_save_path) or '.',
+                        exist_ok=True)
+            np.savez(args.ais_save_path, log_Z=log_mean,
+                     log_low=log_low, log_high=log_high,
+                     avg_test_elbo=float(elbo.mean()))
 
     print('\nDiscriminative fine-tuning ...\n')
     W = hb = W2 = hb2 = None

@@ -57,6 +57,10 @@ print('DIST_OK')
 '''
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
+    # prevent sitecustomize from registering the remote-TPU PJRT
+    # plugin in the subprocess: a wedged device link would hang
+    # jax import in an otherwise CPU-only test
+    env.pop('PALLAS_AXON_POOL_IPS', None)
     env.pop('BMT_TEST_TPU', None)
     out = subprocess.run([sys.executable, '-c', code], env=env,
                          capture_output=True, text=True, timeout=180,
@@ -96,6 +100,10 @@ def test_semi_supervised_driver_smoke(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
+    # prevent sitecustomize from registering the remote-TPU PJRT
+    # plugin in the subprocess: a wedged device link would hang
+    # jax import in an otherwise CPU-only test
+    env.pop('PALLAS_AXON_POOL_IPS', None)
     env.pop('BMT_TEST_TPU', None)
     out_md = str(tmp_path / 'table.md')
     r = subprocess.run(
@@ -112,3 +120,61 @@ def test_semi_supervised_driver_smoke(tmp_path):
         data = json.load(f)
     row = data['rows'][0]
     assert 0. <= row['warm'] <= 1. and 0. <= row['cold'] <= 1.
+
+
+_TWO_PROC_WORKER = r'''
+import os, sys
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+pid = int(sys.argv[1])
+from boltzmann_machines_tpu.parallel import distributed
+info = distributed.initialize(coordinator_address='localhost:43223',
+                              num_processes=2, process_id=pid)
+assert info['process_count'] == 2, info
+assert info['global_devices'] == 4, info
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+mesh = Mesh(np.array(jax.devices()).reshape(4), ('data',))
+start, stop = distributed.process_local_slice(8)
+local = np.arange(8, dtype=np.float32)[start:stop]
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P('data')), local, (8,))
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+print('PSUM2_OK', float(np.asarray(total.addressable_data(0))))
+'''
+
+
+def test_distributed_two_process_psum():
+    """Two-process DCN smoke: both processes join one coordination
+    service over localhost, build a global 4-device mesh spanning the
+    processes, and a jitted global sum over a cross-process-sharded array
+    returns the full-array total in BOTH processes (the collective
+    actually crossed the process boundary).  This is the multi-host
+    launch recipe from docs/tpu.md exercised end-to-end on CPU."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    # prevent sitecustomize from registering the remote-TPU PJRT
+    # plugin in the subprocess: a wedged device link would hang
+    # jax import in an otherwise CPU-only test
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.pop('BMT_TEST_TPU', None)
+    procs = [subprocess.Popen(
+        [sys.executable, '-c', _TWO_PROC_WORKER, str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, cwd=repo) for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, err[-3000:]
+        assert 'PSUM2_OK 28.0' in out, (out, err[-2000:])

@@ -31,21 +31,33 @@ V, H, B, NB = 784, 1024, 256, 216  # rbm_mnist headline shape
 
 
 def sync(x):
+    """Force a REAL device sync: on the axon backend block_until_ready can
+    return before execution completes, so read back a scalar instead."""
     import jax
-    return jax.block_until_ready(x)
-
-
-def bench(fn, *args, reps=3):
     import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(x)
+    acc = 0.
+    for leaf in leaves:
+        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            acc += float(jnp.sum(leaf)) if leaf.ndim == 0 \
+                else float(leaf.ravel()[0])
+    return acc
+
+
+def bench(fn, *args, reps=3, inner=4):
+    """Per-epoch time with the sync round trip amortized over `inner`
+    back-to-back dispatches (the tunneled link's scalar readback costs
+    ~0.1 s, which would swamp a 20 ms epoch)."""
     out = fn(*args)  # compile
     sync(out)
-    t0 = time.perf_counter()
     best = float('inf')
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(inner):
+            out = fn(*args)
         sync(out)
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / inner)
     return best
 
 
@@ -95,16 +107,23 @@ def main():
 
     # NB: the epoch programs donate their state argument, so every variant
     # THREADS the returned state back in (never reuses a donated buffer)
-    def bench_threaded(prog_call, state0, reps):
+    def bench_threaded(prog_call, state0, reps, inner=4):
         state = prog_call(state0)  # compile
         sync(state)
         best = float('inf')
         for _ in range(reps):
             t0 = time.perf_counter()
-            state = prog_call(state)
+            for _ in range(inner):
+                state = prog_call(state)
             sync(state)
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / inner)
         return best
+
+    # sync-overhead baseline so readers can judge the timings
+    t0 = time.perf_counter()
+    sync(rbm._state)
+    print('sync round-trip: %.4f s' % (time.perf_counter() - t0),
+          flush=True)
 
     # 1) fused whole-epoch kernel ------------------------------------- #
     prog = rbm._pallas_epoch_program(1, NB)
