@@ -35,17 +35,16 @@ def sync(x):
     return before execution completes, so read back a scalar instead."""
     import jax
     import jax.numpy as jnp
-    leaves = jax.tree_util.tree_leaves(x)
-    acc = 0.
-    for leaf in leaves:
-        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype,
-                                                     jnp.floating):
-            acc += float(jnp.sum(leaf)) if leaf.ndim == 0 \
-                else float(leaf.ravel()[0])
-    return acc
+    leaves = [l for l in jax.tree_util.tree_leaves(x)
+              if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype,
+                                                        jnp.floating)]
+    # ONE scalar readback: the runtime executes dispatches in order, so a
+    # sum over the last float leaf forces completion of everything prior
+    # (each readback costs a full link round trip -- keep it to one)
+    return float(jnp.sum(leaves[-1])) if leaves else 0.
 
 
-def bench(fn, *args, reps=3, inner=4):
+def bench(fn, *args, reps=3, inner=32):
     """Per-epoch time with the sync round trip amortized over `inner`
     back-to-back dispatches (the tunneled link's scalar readback costs
     ~0.1 s, which would swamp a 20 ms epoch)."""
@@ -107,7 +106,7 @@ def main():
 
     # NB: the epoch programs donate their state argument, so every variant
     # THREADS the returned state back in (never reuses a donated buffer)
-    def bench_threaded(prog_call, state0, reps, inner=4):
+    def bench_threaded(prog_call, state0, reps, inner=32):
         state = prog_call(state0)  # compile
         sync(state)
         best = float('inf')
