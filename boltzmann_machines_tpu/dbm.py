@@ -1139,19 +1139,24 @@ class DBM(EnergyBasedModel):
         step = self.iter_
 
         def finish():
+            # ONE concurrent fetch for everything pending this epoch
+            want_train = bool(parts) and bool(mask.any())
+            batched = (parts if want_train else []) + (pend_val or [])
+            fetched = fetch_many(*batched)
+            n_parts = len(parts) if want_train else 0
             train_msre = train_n_mf = None
-            if parts and mask.any():
-                fetched = fetch_many(*parts)
+            if want_train:
                 msres = np.asarray(fetched[0]).reshape(-1)[:n_full]
                 n_mfs = np.asarray(fetched[1]).reshape(-1)[:n_full]
-                if len(fetched) > 2:  # remainder step scalars
+                if n_parts > 2:  # remainder step scalars
                     msres = np.append(msres, np.asarray(fetched[2]))
                     n_mfs = np.append(n_mfs, np.asarray(fetched[3]))
                 train_msre = float(msres[mask].mean())
                 train_n_mf = float(n_mfs[mask].mean())
             val_msre = val_n_mf = None
             if pend_val is not None:
-                val_msre, val_n_mf = self._finish_val_metrics(pend_val)
+                val_msre, val_n_mf = self._reduce_val_metrics(
+                    fetched[n_parts:])
             if train_msre is not None:
                 self._train_writer.add_scalar('mean_squared_recon_error',
                                               train_msre, step)
@@ -1189,18 +1194,19 @@ class DBM(EnergyBasedModel):
         return pending
 
     @staticmethod
-    def _finish_val_metrics(pending):
-        if not pending:  # degenerate staged val set (no rows at all)
+    def _reduce_val_metrics(fetched):
+        if not len(fetched):  # degenerate staged val set (no rows at all)
             return float('nan'), float('nan')
-        fetched = fetch_many(*pending)  # alternating (msre, n_mf) pairs
-        msres = np.concatenate(fetched[::2])
+        # alternating (msre, n_mf) pairs
+        msres = np.concatenate([np.atleast_1d(np.asarray(f))
+                                for f in fetched[::2]])
         n_mfs = np.concatenate([np.atleast_1d(np.asarray(f))
                                 for f in fetched[1::2]])
         return float(np.mean(msres)), float(np.mean(n_mfs))
 
     def _run_val_metrics(self, staged_val):
-        return self._finish_val_metrics(
-            self._dispatch_val_metrics(staged_val))
+        return self._reduce_val_metrics(
+            fetch_many(*self._dispatch_val_metrics(staged_val)))
 
     # ================================================================== #
     # public API                                                          #

@@ -882,16 +882,8 @@ class BaseRBM(EnergyBasedModel):
         return {'parts': parts, 'mask': mask,
                 'n_full': int(full.shape[0])}
 
-    def _finish_train_metrics(self, pending):
-        """Fetch + reduce a `_train_epoch`/`_train_epoch_pallas` pending
-        record into the train-results dict (runs on the async worker)."""
-        if pending is None or not len(pending['mask']):
-            return {}
-        mask = pending['mask']
-        if not mask.any():
-            return {}
-        fetched = fetch_many(*pending['parts'])
-        n = pending['n_full']
+    def _reduce_train_metrics(self, fetched, mask, n):
+        """Reduce already-fetched epoch metric arrays to the results dict."""
         cols = []
         for i in range(3):  # msre, pll, l2: epoch array (+ remainder scalar)
             col = np.asarray(fetched[i]).reshape(-1)[:n]
@@ -907,6 +899,16 @@ class BaseRBM(EnergyBasedModel):
             results['l2_loss'] = float(cols[2][mask].mean())
         return results
 
+    def _finish_train_metrics(self, pending):
+        """Fetch + reduce a `_train_epoch`/`_train_epoch_pallas` pending
+        record into the train-results dict."""
+        if pending is None or not len(pending['mask']) \
+                or not pending['mask'].any():
+            return {}
+        return self._reduce_train_metrics(fetch_many(*pending['parts']),
+                                          pending['mask'],
+                                          pending['n_full'])
+
     def _dispatch_val_metrics(self, staged_val):
         """Dispatch (without fetching) the validation metric programs."""
         prog = self._program('val', self._val_metrics_program)
@@ -921,18 +923,23 @@ class BaseRBM(EnergyBasedModel):
                                  jax.random.fold_in(key, 1)))
         return pending
 
-    def _finish_val_metrics(self, pending):
-        if not pending:  # degenerate staged val set (no rows at all)
-            return {}
-        fetched = fetch_many(*pending)  # alternating (msre, pll) pairs
-        msres = np.concatenate(fetched[::2])
-        plls = np.concatenate(fetched[1::2])
+    def _reduce_val_metrics(self, fetched):
+        # alternating (msre, pll) pairs
+        msres = np.concatenate([np.atleast_1d(np.asarray(f))
+                                for f in fetched[::2]])
+        plls = np.concatenate([np.atleast_1d(np.asarray(f))
+                               for f in fetched[1::2]])
         results = {}
         if self.metrics_config['msre']:
             results['msre'] = float(np.mean(msres))
         if self.metrics_config['pll']:
             results['pll'] = float(np.mean(plls))
         return results
+
+    def _finish_val_metrics(self, pending):
+        if not pending:  # degenerate staged val set (no rows at all)
+            return {}
+        return self._reduce_val_metrics(fetch_many(*pending))
 
     def _run_val_metrics(self, staged_val):
         return self._finish_val_metrics(
@@ -969,12 +976,17 @@ class BaseRBM(EnergyBasedModel):
         return val_parts + train_parts, len(val_parts)
 
     @staticmethod
+    def _reduce_feg(fetched, nv):
+        val_fe = np.mean(np.concatenate(
+            [np.asarray(f).ravel() for f in fetched[:nv]]))
+        train_fe = np.mean(np.concatenate(
+            [np.asarray(f).ravel() for f in fetched[nv:]]))
+        return val_fe - train_fe
+
+    @staticmethod
     def _finish_feg(pending):
         parts, nv = pending
-        fetched = fetch_many(*parts)
-        val_fe = np.mean(np.concatenate([f.ravel() for f in fetched[:nv]]))
-        train_fe = np.mean(np.concatenate([f.ravel() for f in fetched[nv:]]))
-        return val_fe - train_fe
+        return BaseRBM._reduce_feg(fetch_many(*parts), nv)
 
     def _init_writers(self):
         from ..utils.summary_writer import SummaryWriter
@@ -1124,13 +1136,41 @@ class BaseRBM(EnergyBasedModel):
         step = self.iter_
 
         def finish():
+            # ONE concurrent fetch for everything pending this epoch: the
+            # round trips overlap in fetch_many's thread pool instead of
+            # paying 3-4 sequential link RTTs
+            batched = []
             if pend_hidden is not None:
-                self._write_hidden_activations_img(pend_hidden, step)
-            train_results = self._finish_train_metrics(pend_train)
-            val_results = self._finish_val_metrics(pend_val) \
-                if pend_val is not None else {}
-            feg = self._finish_feg(pend_feg) if pend_feg is not None \
-                else None
+                batched.append(pend_hidden)
+            want_train = pend_train is not None and \
+                len(pend_train['mask']) and pend_train['mask'].any()
+            if want_train:
+                batched += pend_train['parts']
+            if pend_val:
+                batched += pend_val
+            if pend_feg is not None:
+                batched += pend_feg[0]
+            fetched = fetch_many(*batched)
+            pos = 0
+
+            def take(n):
+                nonlocal pos
+                out = fetched[pos:pos + n]
+                pos += n
+                return out
+
+            if pend_hidden is not None:
+                self._write_hidden_activations_img(take(1)[0], step)
+            train_results = {}
+            if want_train:
+                fparts = take(len(pend_train['parts']))
+                train_results = self._reduce_train_metrics(
+                    fparts, pend_train['mask'], pend_train['n_full'])
+            val_results = self._reduce_val_metrics(take(len(pend_val))) \
+                if pend_val else {}
+            feg = None
+            if pend_feg is not None:
+                feg = self._reduce_feg(take(len(pend_feg[0])), pend_feg[1])
             for m, v in train_results.items():
                 self._train_writer.add_scalar(self._metrics_names_map[m], v,
                                               step)
