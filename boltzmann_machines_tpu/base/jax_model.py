@@ -114,6 +114,80 @@ def fetch_as(arr, np_dtype, chunk_mb=32, workers=4):
     return out
 
 
+class MetricsPipeline(object):
+    """Deep async lane for SMALL per-epoch metric readbacks.
+
+    The depth-1 AsyncEpochWriter is right for checkpoint snapshots (at
+    most one extra state copy alive), but for per-epoch metric scalars it
+    caps throughput at one link round trip per epoch: when the round trip
+    exceeds the epoch's device time, the pipeline -- not the device --
+    sets the training rate.  This lane instead queues each epoch's
+    pending device arrays and drains WHOLE BATCHES of queued epochs with
+    a single combined `fetch_many` (one round-trip per drain, not per
+    epoch), then runs each epoch's consume callback in order.  Pending
+    buffers are KB-scale metric outputs, so a deep queue is cheap; the
+    bound gives backpressure if the link stalls outright.
+
+    Exceptions raised by a consume callback re-raise on the next
+    submit/join."""
+
+    def __init__(self, max_pending=64):
+        import queue
+        self._q = queue.Queue(maxsize=max_pending)
+        self._thread = None
+        self._exc = None
+
+    def submit(self, arrays, consume):
+        """Queue `arrays` (device arrays) for fetching; `consume(fetched)`
+        runs on the worker once they arrive."""
+        self._check()
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        self._q.put((list(arrays), consume))
+
+    def _run(self):
+        import queue
+        while True:
+            item = self._q.get()
+            batch = [item]
+            while True:
+                try:
+                    batch.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            stop = batch[-1] is None
+            if stop:
+                batch.pop()
+            try:
+                if batch:
+                    flat = [a for arrays, _ in batch for a in arrays]
+                    fetched = fetch_many(*flat)
+                    pos = 0
+                    for arrays, consume in batch:
+                        consume(fetched[pos:pos + len(arrays)])
+                        pos += len(arrays)
+            except BaseException as e:  # re-raised on the training thread
+                self._exc = e
+            for _ in batch:
+                self._q.task_done()
+            if stop:
+                self._q.task_done()
+                return
+
+    def _check(self):
+        if self._exc is not None:
+            e, self._exc = self._exc, None
+            raise e
+
+    def join(self):
+        t, self._thread = self._thread, None
+        if t is not None:
+            self._q.put(None)
+            t.join()
+        self._check()
+
+
 class AsyncEpochWriter(object):
     """Overlap end-of-epoch host work (device->host state fetch, histogram
     summaries, checkpoint writes) with the next epoch's device execution.

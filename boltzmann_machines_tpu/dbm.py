@@ -33,8 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .base.jax_model import (AsyncEpochWriter, device_histogram, fetch_as,
-                             fetch_many)
+from .base.jax_model import (AsyncEpochWriter, MetricsPipeline,
+                             device_histogram, fetch_as, fetch_many)
 from .ebm import EnergyBasedModel
 from .layers import BaseLayer, BernoulliLayer
 from .parallel import fully_replicated as _fully_replicated
@@ -1052,14 +1052,16 @@ class DBM(EnergyBasedModel):
         # end-of-epoch host work runs on a depth-1 async pipeline (see
         # AsyncEpochWriter), overlapped with the next epoch on device
         aw = AsyncEpochWriter()
+        mp = MetricsPipeline()
         try:
             self._fit_epochs(X_val, use_pallas, use_shardmap, epoch_prog,
-                             step_prog, full, rem, staged_val, aw)
+                             step_prog, full, rem, staged_val, aw, mp)
         finally:
+            mp.join()
             aw.join()
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
-                    step_prog, full, rem, staged_val, aw):
+                    step_prog, full, rem, staged_val, aw, mp):
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):
@@ -1128,22 +1130,23 @@ class DBM(EnergyBasedModel):
             want_ckpt = self.save_after_each_epoch and \
                 self.epoch_ % self.checkpoint_every_epoch == 0
             # metric readbacks + scalar writes + the verbose line run on
-            # the async pipeline, overlapped with the next epoch on device
-            finish = self._make_epoch_finisher(parts, mask, n_full,
-                                               pend_val)
-            self._submit_epoch_host_work(aw, want_summaries, want_ckpt,
-                                         extra_work=finish)
+            # the deep metrics lane (whole batches of queued epochs drain
+            # per link round trip); snapshots/checkpoints keep the
+            # depth-1 heavy lane
+            arrays, consume = self._make_epoch_finisher(parts, mask,
+                                                        n_full, pend_val)
+            mp.submit(arrays, consume)
+            if want_summaries or want_ckpt:
+                self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
 
     def _make_epoch_finisher(self, parts, mask, n_full, pend_val):
         epoch_no = self.epoch_
         step = self.iter_
+        want_train = bool(parts) and bool(mask.any())
+        batched = (parts if want_train else []) + (pend_val or [])
+        n_parts = len(parts) if want_train else 0
 
-        def finish():
-            # ONE concurrent fetch for everything pending this epoch
-            want_train = bool(parts) and bool(mask.any())
-            batched = (parts if want_train else []) + (pend_val or [])
-            fetched = fetch_many(*batched)
-            n_parts = len(parts) if want_train else 0
+        def consume(fetched):
             train_msre = train_n_mf = None
             if want_train:
                 msres = np.asarray(fetched[0]).reshape(-1)[:n_full]
@@ -1181,7 +1184,7 @@ class DBM(EnergyBasedModel):
                     s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
                 write_during_training(s)
 
-        return finish
+        return batched, consume
 
     def _dispatch_val_metrics(self, staged_val):
         prog = self._program('val', self._val_metrics_program)

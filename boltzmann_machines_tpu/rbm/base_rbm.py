@@ -31,8 +31,8 @@ import jax.numpy as jnp
 
 from ..ebm import EnergyBasedModel
 from ..base import is_attribute_name
-from ..base.jax_model import (AsyncEpochWriter, device_histogram,
-                              fetch_as, fetch_many)
+from ..base.jax_model import (AsyncEpochWriter, MetricsPipeline,
+                              device_histogram, fetch_as, fetch_many)
 from ..utils import (make_list_from, batch_iter, epoch_iter, schedule_value,
                      write_during_training)
 from ..utils.testing import assert_len, assert_shape
@@ -1065,19 +1065,23 @@ class BaseRBM(EnergyBasedModel):
         staged_val = self._stage_batches(X_val) if X_val is not None else None
         staged_train = (full, rem, None)
 
-        # end-of-epoch host work (state fetch -> histograms -> checkpoint)
-        # runs on a depth-1 async pipeline, overlapped with the next epoch's
-        # device execution; joined on exit so fit() returns a settled disk
+        # end-of-epoch host work runs on two async lanes, both overlapped
+        # with the next epochs' device execution: a deep metrics lane
+        # (KB-scale readbacks, batched drains) and a depth-1 heavy lane
+        # (state snapshots -> histograms -> checkpoints); joined on exit
+        # so fit() returns a settled disk
         aw = AsyncEpochWriter()
+        mp = MetricsPipeline()
         try:
             self._fit_epochs(X_val, use_pallas, use_shardmap, epoch_prog,
                              step_prog, full, rem, staged_train, staged_val,
-                             aw)
+                             aw, mp)
         finally:
+            mp.join()
             aw.join()
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
-                    step_prog, full, rem, staged_train, staged_val, aw):
+                    step_prog, full, rem, staged_train, staged_val, aw, mp):
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):
@@ -1119,38 +1123,39 @@ class BaseRBM(EnergyBasedModel):
                 pend_hidden = self._dispatch_hidden_activations(full, rem)
 
             # ALL device->host metric readbacks + summary-scalar writes +
-            # the verbose epoch line run on the async pipeline, overlapped
-            # with the next epoch's device execution
-            finish = self._make_epoch_finisher(pend_train, pend_val,
-                                               pend_feg, pend_hidden)
-            self._submit_epoch_host_work(aw, want_summaries, want_ckpt,
-                                         extra_work=finish)
+            # the verbose epoch line run on the deep metrics lane (whole
+            # batches of queued epochs drain per link round trip); state
+            # snapshots/checkpoints keep the depth-1 heavy lane
+            arrays, consume = self._make_epoch_finisher(
+                pend_train, pend_val, pend_feg, pend_hidden)
+            mp.submit(arrays, consume)
+            if want_summaries or want_ckpt:
+                self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
 
     def _make_epoch_finisher(self, pend_train, pend_val, pend_feg,
                              pend_hidden=None):
-        """Closure for the async worker: fetch this epoch's pending metric
-        arrays, write the scalar summaries, and emit the verbose line.
+        """Build (arrays, consume) for the metrics pipeline: `arrays` is
+        everything pending for this epoch (fetched in one combined batch,
+        possibly together with other epochs' arrays); `consume(fetched)`
+        reduces + writes scalars + emits the verbose line on the worker.
         Snapshot epoch/step NOW -- the training thread advances them while
         the worker runs."""
         epoch_no = self.epoch_
         step = self.iter_
 
-        def finish():
-            # ONE concurrent fetch for everything pending this epoch: the
-            # round trips overlap in fetch_many's thread pool instead of
-            # paying 3-4 sequential link RTTs
-            batched = []
-            if pend_hidden is not None:
-                batched.append(pend_hidden)
-            want_train = pend_train is not None and \
-                len(pend_train['mask']) and pend_train['mask'].any()
-            if want_train:
-                batched += pend_train['parts']
-            if pend_val:
-                batched += pend_val
-            if pend_feg is not None:
-                batched += pend_feg[0]
-            fetched = fetch_many(*batched)
+        batched = []
+        if pend_hidden is not None:
+            batched.append(pend_hidden)
+        want_train = pend_train is not None and \
+            len(pend_train['mask']) and pend_train['mask'].any()
+        if want_train:
+            batched += pend_train['parts']
+        if pend_val:
+            batched += pend_val
+        if pend_feg is not None:
+            batched += pend_feg[0]
+
+        def consume(fetched):
             pos = 0
 
             def take(n):
@@ -1194,7 +1199,7 @@ class BaseRBM(EnergyBasedModel):
                     s += ' ; feg: {0:{1}}'.format(feg, self.metrics_config['feg_fmt'])
                 write_during_training(s)
 
-        return finish
+        return batched, consume
 
     # ================================================================== #
     # public API                                                          #

@@ -178,3 +178,36 @@ def test_distributed_two_process_psum():
     for rc, out, err in outs:
         assert rc == 0, err[-3000:]
         assert 'PSUM2_OK 28.0' in out, (out, err[-2000:])
+
+
+def test_device_histogram_nonfinite(tmp_path):
+    """NaN/Inf values must not poison the histogram buckets; they are
+    counted separately and surfaced as a scalar (advisor round 2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from boltzmann_machines_tpu.base.jax_model import device_histogram
+    from boltzmann_machines_tpu.utils.summary_writer import SummaryWriter
+
+    x = jnp.asarray(np.array([1., 2., np.nan, 3., np.inf, -np.inf, 4.],
+                             np.float32))
+    stats = {k: np.asarray(v) for k, v in device_histogram(x, 8).items()}
+    assert int(stats['n_nonfinite']) == 3
+    assert int(stats['counts'].sum()) == 4          # only finite entries
+    assert float(stats['min']) == 1. and float(stats['max']) == 4.
+    assert np.isfinite(stats['sum']) and np.isfinite(stats['sum_sq'])
+
+    # all-bad tensor degrades gracefully (no NaN edges)
+    bad = jnp.asarray(np.full(5, np.nan, np.float32))
+    sbad = {k: np.asarray(v) for k, v in device_histogram(bad, 8).items()}
+    assert int(sbad['n_nonfinite']) == 5
+    assert int(sbad['counts'].sum()) == 0
+    assert np.isfinite(sbad['min']) and np.isfinite(sbad['max'])
+
+    # writer consumes the stats and emits the n_nonfinite scalar
+    w = SummaryWriter(str(tmp_path))
+    w.add_device_histogram('t', stats, 1)
+    w.close()
+    events = [p for p in os.listdir(str(tmp_path)) if p.startswith('events')]
+    with open(os.path.join(str(tmp_path), events[0]), 'rb') as f:
+        data = f.read()
+    assert b'n_nonfinite' in data
