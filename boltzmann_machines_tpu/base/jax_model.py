@@ -190,42 +190,94 @@ class MetricsPipeline(object):
 
 class AsyncEpochWriter(object):
     """Overlap end-of-epoch host work (device->host state fetch, histogram
-    summaries, checkpoint writes) with the next epoch's device execution.
+    summaries, checkpoint writes) with the next epochs' device execution.
 
     The reference runs on a locally-attached GPU where fetching state is
     nearly free; on TPU -- and especially on remote-attached devices -- the
-    per-epoch ``device_get`` + npz write can rival the epoch's device time.
-    The fit loops snapshot the state *on device* (cheap HBM-to-HBM copy, so
-    the next epoch's buffer donation cannot invalidate it), then hand the
-    fetch-and-write continuation to this single-worker pipeline.
+    per-epoch ``device_get`` + npz write can rival (or on a degraded link
+    far exceed) many epochs of device time.  The fit loops snapshot the
+    state *on device* (cheap HBM-to-HBM copy, so the next epoch's buffer
+    donation cannot invalidate it), then hand the fetch-and-write
+    continuation to this single-worker pipeline.
 
-    Depth-1 by design: ``submit`` joins the previous epoch's work first, so
-    checkpoints land in order and at most one extra state copy is alive.
+    Work items run strictly in submission order on one worker thread.
+    ``heavy`` items (full-state checkpoint fetches) are admission-
+    controlled rather than back-pressured: at most one heavy item may be
+    queued or running, and a heavy submit that finds another in flight is
+    DROPPED (returns False) unless ``force=True``.  Training therefore
+    never stalls behind a slow checkpoint fetch -- on a link where one
+    state fetch takes longer than ``checkpoint_every_epoch`` epochs of
+    device time, intermediate checkpoints degrade to "as often as the
+    link sustains" instead of throttling the device (the final
+    end-of-fit checkpoint is always forced).  Light items (KB-scale
+    summary reductions) are always accepted.  Dropping is also
+    memory-bounded by construction: each pending heavy item pins a full
+    device-state snapshot in HBM, so at most two copies (one running,
+    one queued... none, since queued heavies are refused) exist.
+
     Exceptions raised by the worker re-raise on the next submit/join."""
 
     def __init__(self):
+        import queue
+        self._q = queue.Queue()
         self._thread = None
         self._exc = None
+        self._lock = threading.Lock()
+        self._heavy_in_flight = 0
+        self.n_dropped = 0  # observability: skipped heavy submissions
 
-    def submit(self, fn):
-        self.join()
+    def submit(self, fn, heavy=False, force=False):
+        """Queue ``fn`` for the worker.  Returns True if accepted; False
+        if it was a non-forced heavy item dropped because another heavy
+        item is still queued or running."""
+        self._check()
+        if heavy:
+            with self._lock:
+                if self._heavy_in_flight and not force:
+                    self.n_dropped += 1
+                    return False
+                self._heavy_in_flight += 1
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        self._q.put((fn, heavy))
+        return True
 
-        def run():
+    def heavy_busy(self):
+        """True if a heavy (full-state checkpoint) item is queued or
+        running -- lets callers skip building the device snapshot for a
+        checkpoint that would be dropped anyway."""
+        with self._lock:
+            return bool(self._heavy_in_flight)
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            fn, heavy = item
             try:
                 fn()
             except BaseException as e:  # re-raised on the training thread
                 self._exc = e
+            finally:
+                if heavy:
+                    with self._lock:
+                        self._heavy_in_flight -= 1
+                self._q.task_done()
 
-        self._thread = threading.Thread(target=run, daemon=True)
-        self._thread.start()
+    def _check(self):
+        if self._exc is not None:
+            e, self._exc = self._exc, None
+            raise e
 
     def join(self):
         t, self._thread = self._thread, None
         if t is not None:
+            self._q.put(None)
             t.join()
-        if self._exc is not None:
-            e, self._exc = self._exc, None
-            raise e
+        self._check()
 
 
 class JAXModel(BaseModel, DtypeMixin):
@@ -372,7 +424,7 @@ class JAXModel(BaseModel, DtypeMixin):
         return int(cache[1][epoch])
 
     def _submit_epoch_host_work(self, writer, want_summaries, want_ckpt,
-                                extra_work=None):
+                                extra_work=None, force_ckpt=False):
         """End-of-epoch host pipeline: snapshot the state pytree on device
         (HBM-to-HBM copy -- immune to the next epoch's buffer donation),
         reduce it to summary stats on device, capture the JSON metadata
@@ -381,13 +433,23 @@ class JAXModel(BaseModel, DtypeMixin):
         summaries-only epoch fetches just the reduced stats (KBs); only
         checkpoint epochs fetch the full state.
 
+        Checkpoint fetches are best-effort under link backpressure: if a
+        previous checkpoint's full-state fetch is still in flight, this
+        epoch's checkpoint is SKIPPED (no snapshot is even built) so a
+        slow device->host link degrades checkpoint cadence instead of
+        training throughput.  ``force_ckpt`` (the final epoch) bypasses
+        the admission control -- the end-of-fit checkpoint always lands.
+
         `extra_work` (a callable) runs FIRST on the worker -- the fit
-        loops use it to move the per-epoch metric readbacks + scalar
-        summary writes off the training thread, so the only per-epoch
-        work on the training thread is dispatching device programs."""
+        loops use it to move per-epoch host work off the training
+        thread, so the only per-epoch work on the training thread is
+        dispatching device programs."""
         import jax
         import jax.numpy as jnp
         step = self.iter_
+        if want_ckpt and not force_ckpt and writer.heavy_busy():
+            want_ckpt = False
+            writer.n_dropped += 1
         payload = self._checkpoint_payload() if want_ckpt else None
         snap = None
         if want_ckpt:
@@ -420,7 +482,7 @@ class JAXModel(BaseModel, DtypeMixin):
                 self._write_checkpoint(params, rng_state,
                                        self._get_state_arrays(host_state))
 
-        writer.submit(work)
+        writer.submit(work, heavy=want_ckpt, force=force_ckpt)
 
     @classmethod
     def load_model(cls, model_path):

@@ -24,6 +24,8 @@ input doubling (244-262), PLL via a single randomly flipped unit scaled by
 n_visible (496-513), and the free-energy-gap overfitting monitor (592-621).
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -988,6 +990,363 @@ class BaseRBM(EnergyBasedModel):
         parts, nv = pending
         return BaseRBM._reduce_feg(fetch_many(*parts), nv)
 
+    # ------------------- epoch-block training programs ----------------- #
+    #
+    # On remote-attached TPUs every per-epoch host interaction -- program
+    # dispatch, argument upload, metric readback -- costs up to a link
+    # round trip.  The epoch-block program folds E WHOLE EPOCHS (training
+    # scan + remainder step + validation metrics + free-energy gap, the
+    # latter two under `lax.cond` at their epoch cadences) into ONE jitted
+    # dispatch returning stacked per-epoch metrics, so the host touches
+    # the link once per block instead of several times per epoch.  The
+    # per-epoch PRNG derivation (fold_in(fit_key, epoch) / fold_in(.,
+    # 100000+epoch) / fold_in(., 200000+epoch)) is reproduced exactly, so
+    # trajectories and metric streams are bitwise-identical to the
+    # per-epoch path (asserted by tests/test_rbm.py).
+    def _epoch_core_xla(self, state, it, full, rem, lr, mom, k, ekey):
+        """One epoch's device computation: scan over the full batches plus
+        the remainder step.  Returns (state, it, parts) where parts is
+        (msre, pll, l2) arrays of shape (n_full,) followed, when a
+        remainder batch exists, by the remainder step's three scalars.
+        Fold chain matches `_train_epoch_program` + `_train_step_program`."""
+        every = int(self.metrics_config['train_metrics_every_iter'])
+
+        def step_metrics(new_state, aux, step_key, it):
+            want = (it % every) == 0
+
+            def metric_branch(_):
+                m = self._metrics(new_state, aux['X'], aux['v_means'],
+                                  jax.random.fold_in(step_key, 7))
+                return (m['msre'], m['pll'], m['l2_loss'],
+                        jnp.ones((), jnp.bool_))
+
+            def zero_branch(_):
+                z = jnp.zeros((), aux['X'].dtype)
+                return (z, z, z, jnp.zeros((), jnp.bool_))
+
+            return jax.lax.cond(want, metric_branch, zero_branch, None)
+
+        def scan_body(carry, X_batch):
+            state, it = carry
+            it = it + 1
+            step_key = jax.random.fold_in(ekey, it)
+            new_state, aux = self._cd_step(state, X_batch, lr, mom, k,
+                                           step_key)
+            return (new_state, it), step_metrics(new_state, aux, step_key, it)
+
+        (state, it), stacked = jax.lax.scan(scan_body, (state, it), full)
+        parts = list(stacked[:3])
+        if rem is not None:
+            it = it + 1
+            step_key = jax.random.fold_in(ekey, it)
+            state, aux = self._cd_step(state, rem, lr, mom, k, step_key)
+            m = step_metrics(state, aux, step_key, it)
+            parts += list(m[:3])
+        return state, it, tuple(parts)
+
+    def _val_core(self, state, val_full, val_rem, k, vkey):
+        """Validation msre/pll over the staged val set; fold chain matches
+        `_dispatch_val_metrics` (`fold_in(vkey, i)` per full batch, rem
+        batch under `fold_in(vkey, 1)` restarting i=0).  Returns (msres,
+        plls) of shape (n_val_batches,)."""
+        def one_batch(X, key):
+            kd, kc, kp = jax.random.split(key, 3)
+            X = self._maybe_dropout(kd, X)
+            h0_means = self._means_h_given_v(state, X)
+            h0_samples = self._h_layer.sample(kc, h0_means)
+            h_states = h0_samples if self.sample_h_states else h0_means
+            _, v_means, _, _ = self._gibbs_chain(
+                state, h_states, k, key=jax.random.fold_in(kc, 1))
+            msre = jnp.mean(jnp.square(X - v_means))
+            pll = (self._pll(state, X, kp) if self.metrics_config['pll']
+                   else jnp.zeros((), X.dtype))
+            return msre, pll
+
+        parts_m, parts_p = [], []
+        if val_full is not None and val_full.shape[0]:
+            def scan_body(i, X_batch):
+                m, p = one_batch(X_batch, jax.random.fold_in(vkey, i))
+                return i + 1, (m, p)
+            _, (ms, ps) = jax.lax.scan(scan_body, 0, val_full)
+            parts_m.append(ms)
+            parts_p.append(ps)
+        if val_rem is not None:
+            m, p = one_batch(val_rem,
+                             jax.random.fold_in(jax.random.fold_in(vkey, 1),
+                                                0))
+            parts_m.append(m[None])
+            parts_p.append(p[None])
+        return jnp.concatenate(parts_m), jnp.concatenate(parts_p)
+
+    def _feg_core(self, state, full, rem, val_full, val_rem, fkey):
+        """Per-batch free-energy scalars over the FEG probe batches of both
+        sides (`_free_energy` is a batch-MEAN scalar per batch); fold chain
+        matches `_dispatch_feg`.  Returns (val_scalars, train_scalars) --
+        the host averages them exactly like `_reduce_feg`, so the metric
+        stream is bitwise-identical to the per-epoch path."""
+        n = self.metrics_config['n_batches_for_feg']
+
+        def side_scalars(staged_full, staged_rem, key):
+            parts = []
+            nb = min(n, int(staged_full.shape[0])) if staged_full is not None \
+                else 0
+            if nb:
+                def body(i, X_batch):
+                    ki = jax.random.fold_in(key, i)
+                    kd, kf = jax.random.split(ki)
+                    X = self._maybe_dropout(kd, X_batch)
+                    return i + 1, self._free_energy(state, X, kf)
+                _, fes = jax.lax.scan(body, 0, staged_full[:nb])
+                parts.append(fes)
+            if nb < n and staged_rem is not None:
+                kr = jax.random.fold_in(key, 999)
+                kd, kf = jax.random.split(jax.random.fold_in(kr, 0))
+                X = self._maybe_dropout(kd, staged_rem)
+                parts.append(self._free_energy(state, X, kf)[None])
+            return jnp.concatenate(parts)
+
+        val_fes = side_scalars(val_full, val_rem, jax.random.fold_in(fkey, 1))
+        train_fes = side_scalars(full, rem, jax.random.fold_in(fkey, 0))
+        return val_fes, train_fes
+
+    def _feg_counts(self, staged_train, staged_val):
+        """Static per-side scalar counts: one per probe full batch plus one
+        for the remainder when it participates (shapes of `_feg_core`'s
+        outputs)."""
+        n = self.metrics_config['n_batches_for_feg']
+
+        def side_count(staged):
+            full, rem, _ = staged
+            nb = min(n, int(full.shape[0]))
+            cnt = nb
+            if nb < n and rem is not None:
+                cnt += 1
+            return cnt
+
+        return side_count(staged_val), side_count(staged_train)
+
+    def _train_block_program(self, use_val, use_feg):
+        """E epochs of training in one jitted dispatch.  Per-epoch lr /
+        momentum / gibbs-k schedules arrive as (E,) arrays; validation and
+        FEG run in-program under their epoch cadences via `lax.cond`.
+        Returns (state, outs) with stacked per-epoch metric arrays."""
+        val_every = int(self.metrics_config['val_metrics_every_epoch'])
+        feg_every = int(self.metrics_config['feg_every_epoch'])
+        nan = float('nan')
+
+        def block_fn(state, full, rem, val_full, val_rem, lrs, moms, ks,
+                     key, iter0, epochs):
+            def epoch_body(carry, xs):
+                state, it = carry
+                lr, mom, k, e = xs
+                ekey = jax.random.fold_in(key, e)
+                state, it, parts = self._epoch_core_xla(
+                    state, it, full, rem, lr, mom, k, ekey)
+                outs = {'train': parts}
+                if use_val:
+                    def do_val(_):
+                        vkey = jax.random.fold_in(key, 100000 + e)
+                        return self._val_core(state, val_full, val_rem, k,
+                                              vkey)
+
+                    def no_val(_):
+                        nvb = (int(val_full.shape[0])
+                               if val_full is not None else 0) \
+                            + (1 if val_rem is not None else 0)
+                        z = jnp.full((nvb,), nan, self._jnp_dtype)
+                        return z, z
+
+                    outs['val'] = jax.lax.cond(e % val_every == 0, do_val,
+                                               no_val, None)
+                if use_feg:
+                    def do_feg(_):
+                        fkey = jax.random.fold_in(key, 200000 + e)
+                        return self._feg_core(state, full, rem, val_full,
+                                              val_rem, fkey)
+
+                    def no_feg(_):
+                        nv, nt = self._feg_counts(
+                            (full, rem, None), (val_full, val_rem, None))
+                        return (jnp.full((nv,), nan, self._jnp_dtype),
+                                jnp.full((nt,), nan, self._jnp_dtype))
+
+                    outs['feg'] = jax.lax.cond(e % feg_every == 0, do_feg,
+                                               no_feg, None)
+                return (state, it), outs
+
+            (state, it), stacked = jax.lax.scan(
+                epoch_body, (state, iter0), (lrs, moms, ks, epochs))
+            return state, stacked
+
+        return jax.jit(block_fn, donate_argnums=(0,))
+
+    def _block_spans(self, start, cap=64):
+        """Split (start, max_epoch] into dispatch blocks that end at every
+        host-event epoch (checkpoint / summaries cadence) and never exceed
+        `cap` epochs (keeps progress, interrupts, and the metric drain
+        responsive)."""
+        spans = []
+        e = start
+        while e < self.max_epoch:
+            end = min(e + cap, self.max_epoch)
+            for cadence in (self.checkpoint_every_epoch
+                            if self.save_after_each_epoch else 0,
+                            self.summaries_every_epoch):
+                if cadence:
+                    nxt = ((e // cadence) + 1) * cadence
+                    if e < nxt < end:
+                        end = nxt
+            spans.append((e, end))
+            e = end
+        return spans
+
+    def _fit_epoch_blocks(self, full, rem, staged_train, staged_val, aw, mp):
+        """Block-dispatch fit loop: one device program + one queued metric
+        readback per block of up to 64 epochs (vs several link round trips
+        per epoch), with summaries/checkpoints at block boundaries."""
+        from ..utils.utils import _HAVE_TQDM
+        n_full = int(full.shape[0])
+        per_epoch_iters = n_full + (1 if rem is not None else 0)
+        use_val = staged_val is not None and (
+            staged_val[0].shape[0] or staged_val[1] is not None)
+        use_feg = use_val and bool(self.metrics_config['feg'])
+        val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
+            else (None, None)
+        prog = self._program(('train_block', use_val, use_feg),
+                             lambda: self._train_block_program(use_val,
+                                                               use_feg))
+        bar = None
+        if self.verbose and _HAVE_TQDM:
+            from tqdm import tqdm
+            bar = tqdm(total=self.max_epoch, initial=self.epoch_,
+                       leave=True, ncols=84, desc='training')
+        try:
+            for (e0, e1) in self._block_spans(self.epoch_):
+                epochs = np.arange(e0 + 1, e1 + 1, dtype=np.int32)
+                lrs = np.asarray([schedule_value(self.learning_rate, t)
+                                  for t in epochs], self._np_dtype)
+                moms = np.asarray([schedule_value(self.momentum, t)
+                                   for t in epochs], self._np_dtype)
+                ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
+                                 for t in epochs], np.int32)
+                iter0 = self.iter_
+                self._state, stacked = prog(
+                    self._state, full, rem, val_full, val_rem, lrs, moms,
+                    ks, self._fit_key, iter0, epochs)
+                self.iter_ += len(epochs) * per_epoch_iters
+                self.epoch_ = e1
+                arrays, consume = self._make_block_finisher(
+                    stacked, epochs, iter0, per_epoch_iters, n_full,
+                    rem is not None, use_val, use_feg)
+                mp.submit(arrays, consume)
+                self._epoch_boundary_host_work(full, rem, aw, iter0,
+                                               per_epoch_iters)
+                if bar is not None:
+                    bar.update(len(epochs))
+        finally:
+            if bar is not None:
+                bar.close()
+
+    def _epoch_boundary_host_work(self, full, rem, aw, iter0,
+                                  per_epoch_iters):
+        """Summaries / checkpoint submission at a block boundary --
+        identical cadence logic to the per-epoch loop (the boundary epoch
+        IS a cadence epoch by construction of `_block_spans`)."""
+        every = int(self.metrics_config['train_metrics_every_iter'])
+        # iterations of the LAST epoch in the block
+        last_lo = self.iter_ - per_epoch_iters
+        logged = bool((((np.arange(last_lo + 1, self.iter_ + 1)) % every)
+                       == 0).any())
+        want_summaries = logged and \
+            self.epoch_ % self.summaries_every_epoch == 0
+        want_ckpt = self.save_after_each_epoch and \
+            self.epoch_ % self.checkpoint_every_epoch == 0
+        if want_summaries and self.display_hidden_activations:
+            pend_hidden = self._dispatch_hidden_activations(full, rem)
+            if pend_hidden is not None:
+                step = self.iter_
+                h = pend_hidden
+                self._submit_epoch_host_work(
+                    aw, want_summaries, want_ckpt,
+                    extra_work=lambda: self._write_hidden_activations_img(
+                        h, step))
+                return
+        if want_summaries or want_ckpt:
+            self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
+
+    def _make_block_finisher(self, stacked, epochs, iter0, per_epoch_iters,
+                             n_full, has_rem, use_val, use_feg):
+        """(arrays, consume) for a WHOLE BLOCK: one queued fetch of the
+        stacked per-epoch metric arrays; `consume` replays the per-epoch
+        scalar writes and verbose lines in epoch order."""
+        every = int(self.metrics_config['train_metrics_every_iter'])
+        val_every = int(self.metrics_config['val_metrics_every_epoch'])
+        feg_every = int(self.metrics_config['feg_every_epoch'])
+        max_epoch = self.max_epoch
+        arrays = list(stacked['train'])
+        n_train = len(arrays)
+        if use_val:
+            arrays += list(stacked['val'])
+        if use_feg:
+            arrays += list(stacked['feg'])
+
+        def consume(fetched):
+            train = fetched[:n_train]
+            pos = n_train
+            val = feg = None
+            if use_val:
+                val = fetched[pos:pos + 2]
+                pos += 2
+            if use_feg:
+                feg = fetched[pos:pos + 2]
+            for i, e in enumerate(epochs):
+                e = int(e)
+                step = iter0 + (i + 1) * per_epoch_iters
+                iters = step - per_epoch_iters + 1 + np.arange(
+                    per_epoch_iters)
+                mask = (iters % every) == 0
+                train_results = {}
+                if mask.any():
+                    row = [np.asarray(t[i]) for t in train]
+                    train_results = self._reduce_train_metrics(
+                        row, mask, n_full)
+                val_results = {}
+                if use_val and e % val_every == 0:
+                    val_results = self._reduce_val_metrics(
+                        [np.asarray(val[0][i]), np.asarray(val[1][i])])
+                feg_val = None
+                if use_feg and e % feg_every == 0:
+                    # mirror _reduce_feg: float32 np.mean over the per-batch
+                    # scalars, then subtract -- bitwise-identical stream
+                    feg_val = float(np.mean(np.asarray(feg[0][i]))
+                                    - np.mean(np.asarray(feg[1][i])))
+                for m, v in train_results.items():
+                    self._train_writer.add_scalar(
+                        self._metrics_names_map[m], v, step)
+                for m, v in val_results.items():
+                    self._val_writer.add_scalar(
+                        self._metrics_names_map[m], v, step)
+                if feg_val is not None:
+                    self._val_writer.add_scalar(
+                        self._metrics_names_map['feg'], feg_val, step)
+                if self.verbose:
+                    s = 'epoch: {0:{1}}/{2}'.format(
+                        e, len(str(max_epoch)), max_epoch)
+                    for m, v in sorted(train_results.items()):
+                        s += '; {0}: {1:{2}}'.format(
+                            m, v, self.metrics_config[m + '_fmt'])
+                    for m, v in sorted(val_results.items()):
+                        s += '; val.{0}: {1:{2}}'.format(
+                            m, v, self.metrics_config[m + '_fmt'])
+                    if feg_val is not None:
+                        s += ' ; feg: {0:{1}}'.format(
+                            feg_val, self.metrics_config['feg_fmt'])
+                    write_during_training(s)
+            self._train_writer.flush()
+            self._val_writer.flush()
+
+        return arrays, consume
+
     def _init_writers(self):
         from ..utils.summary_writer import SummaryWriter
         if getattr(self, '_train_writer', None) is None:
@@ -1082,6 +1441,15 @@ class BaseRBM(EnergyBasedModel):
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_train, staged_val, aw, mp):
+        # single-device XLA path: dispatch whole EPOCH BLOCKS (up to 64
+        # epochs per program, val/FEG in-program) -- one link interaction
+        # per block instead of several per epoch.  Pallas/shard_map/mesh
+        # paths keep the per-epoch loop below.  BMT_EPOCH_BLOCKS=0 forces
+        # the per-epoch loop (used by the equivalence tests).
+        if not use_pallas and not use_shardmap and self._mesh is None \
+                and os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
+            return self._fit_epoch_blocks(full, rem, staged_train,
+                                          staged_val, aw, mp)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):

@@ -79,8 +79,8 @@ def test_set_params_validation(tiny_data):
 
 
 def test_async_epoch_writer_orders_and_raises():
-    """AsyncEpochWriter: depth-1 pipeline runs jobs in submission order and
-    re-raises worker exceptions on the training thread."""
+    """AsyncEpochWriter: single-worker pipeline runs jobs in submission
+    order and re-raises worker exceptions on the training thread."""
     import time
     from boltzmann_machines_tpu.base.jax_model import AsyncEpochWriter
 
@@ -94,7 +94,7 @@ def test_async_epoch_writer_orders_and_raises():
         return run
 
     for i in range(4):
-        aw.submit(job(i))  # each submit joins the previous job first
+        assert aw.submit(job(i))
     aw.join()
     assert seen == [0, 1, 2, 3]
 
@@ -108,6 +108,39 @@ def test_async_epoch_writer_orders_and_raises():
     aw.submit(job(99, delay=0.0))
     aw.join()
     assert seen[-1] == 99
+
+
+def test_async_epoch_writer_drops_heavy_under_backpressure():
+    """Heavy (checkpoint-fetch) items are admission-controlled: while one
+    is queued or running, further non-forced heavy submits are dropped so
+    a slow link degrades checkpoint cadence, never training throughput.
+    Light (summary) items are always accepted, and ``force=True`` (the
+    end-of-fit checkpoint) bypasses the control."""
+    import threading
+    import time
+    from boltzmann_machines_tpu.base.jax_model import AsyncEpochWriter
+
+    aw = AsyncEpochWriter()
+    seen = []
+    gate = threading.Event()
+
+    def slow_ckpt():
+        gate.wait(5.0)
+        seen.append('ckpt0')
+
+    assert aw.submit(slow_ckpt, heavy=True)
+    assert aw.heavy_busy()
+    # a second heavy submit while the first is in flight is dropped ...
+    assert not aw.submit(lambda: seen.append('ckpt1'), heavy=True)
+    assert aw.n_dropped == 1
+    # ... light work is still accepted ...
+    assert aw.submit(lambda: seen.append('summary'))
+    # ... and a forced heavy (final checkpoint) is accepted
+    assert aw.submit(lambda: seen.append('final'), heavy=True, force=True)
+    gate.set()
+    aw.join()
+    assert seen == ['ckpt0', 'summary', 'final']
+    assert not aw.heavy_busy()
 
 
 def test_checkpoint_payload_snapshot(tiny_data, tmp_path):

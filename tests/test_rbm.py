@@ -111,6 +111,47 @@ def test_consistency_with_val(X, X_val, tmp_model_dir):
     np.testing.assert_allclose(r1.transform(X_val), r2.transform(X_val))
 
 
+def _read_scalars(logdir):
+    """(tag, step, value) triples from a logdir's scalars.jsonl sidecar."""
+    import json
+    import os
+    path = os.path.join(logdir, 'scalars.jsonl')
+    with open(path) as f:
+        return sorted((r['tag'], r['step'], r['value'])
+                      for r in map(json.loads, f))
+
+
+def test_epoch_block_path_matches_per_epoch_path(X, X_val, tmp_model_dir,
+                                                 monkeypatch):
+    """The epoch-block fit loop (whole blocks of epochs in one jitted
+    dispatch, val/FEG in-program under `lax.cond`) must be bitwise-
+    identical to the per-epoch dispatch loop -- weights, transforms, AND
+    the full scalar metric streams (train msre/pll/l2, val msre/pll, feg
+    at their cadences)."""
+    cfg = dict(RBM_CONFIG, max_epoch=5)
+    cfg['metrics_config'] = dict(msre=True, pll=True, l2_loss=True, feg=True,
+                                 train_metrics_every_iter=2,
+                                 val_metrics_every_epoch=2,
+                                 feg_every_epoch=3, n_batches_for_feg=2)
+    rb = BernoulliRBM(model_path=tmp_model_dir + 'block/', **cfg)
+    rb.fit(X, X_val)
+
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    rp = BernoulliRBM(model_path=tmp_model_dir + 'perepoch/', **cfg)
+    rp.fit(X, X_val)
+
+    assert_weights_equal(rb, rp)
+    np.testing.assert_allclose(rb.transform(X_val), rp.transform(X_val))
+    assert rb.epoch_ == rp.epoch_ and rb.iter_ == rp.iter_
+
+    for side in ('train', 'val'):
+        sb = _read_scalars(tmp_model_dir + 'block/logs/' + side)
+        sp = _read_scalars(tmp_model_dir + 'perepoch/logs/' + side)
+        assert [(t, s) for t, s, _ in sb] == [(t, s) for t, s, _ in sp]
+        np.testing.assert_allclose([v for _, _, v in sb],
+                                   [v for _, _, v in sp], rtol=1e-6)
+
+
 def test_learning_decreases_msre(tmp_model_dir):
     """CD-1 on separable binary data must reduce reconstruction error."""
     rng = RNG(seed=7)
