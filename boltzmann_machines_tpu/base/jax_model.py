@@ -423,6 +423,28 @@ class JAXModel(BaseModel, DtypeMixin):
             cache = self._epoch_seed_cache
         return int(cache[1][epoch])
 
+    def _block_spans(self, start, cap=64):
+        """Split (start, max_epoch] into dispatch blocks that end at every
+        host-event epoch (checkpoint / summaries cadence) and never exceed
+        `cap` epochs (keeps progress, interrupts, and the metric drain
+        responsive).  Used by the epoch-block fit loops, which fold whole
+        blocks of epochs into one device program on remote-attached
+        backends."""
+        spans = []
+        e = start
+        while e < self.max_epoch:
+            end = min(e + cap, self.max_epoch)
+            for cadence in (self.checkpoint_every_epoch
+                            if self.save_after_each_epoch else 0,
+                            self.summaries_every_epoch):
+                if cadence:
+                    nxt = ((e // cadence) + 1) * cadence
+                    if e < nxt < end:
+                        end = nxt
+            spans.append((e, end))
+            e = end
+        return spans
+
     def _submit_epoch_host_work(self, writer, want_summaries, want_ckpt,
                                 extra_work=None, force_ckpt=False):
         """End-of-epoch host pipeline: snapshot the state pytree on device

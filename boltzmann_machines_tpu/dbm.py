@@ -28,6 +28,8 @@ Design notes (vs. the TF1 reference):
   with all ``n_runs`` chains vectorized (and shardable) on-device.
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -728,6 +730,205 @@ class DBM(EnergyBasedModel):
                                     jax.random.fold_in(key, it))
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def _val_core(self, state, val_full, val_rem):
+        """In-program validation msre/n_mf over the staged val set;
+        mean-field is deterministic, so values are identical to the
+        dispatched `_val_metrics_program` path.  Returns (msres, n_mfs) of
+        shape (n_val_batches,)."""
+        def one_batch(X):
+            mu, n_mf = self._mf(state, X)
+            v_means = self._reconstruction_means(state, mu[0])
+            msre = jnp.mean(jnp.square(X - v_means))
+            # float cast: the nan rows of non-val epochs (lax.cond's other
+            # branch) need a floating dtype
+            return msre, n_mf.astype(self._jnp_dtype)
+
+        parts_m, parts_n = [], []
+        if val_full is not None and val_full.shape[0]:
+            def scan_body(_, X_batch):
+                return _, one_batch(X_batch)
+            _, (ms, ns) = jax.lax.scan(scan_body, 0, val_full)
+            parts_m.append(ms)
+            parts_n.append(ns)
+        if val_rem is not None:
+            m, n = one_batch(val_rem)
+            parts_m.append(m[None])
+            parts_n.append(jnp.asarray(n)[None])
+        return jnp.concatenate(parts_m), jnp.concatenate(parts_n)
+
+    def _train_block_program(self, use_val):
+        """E epochs of PCD/MF training in one jitted dispatch (the DBM
+        analog of BaseRBM's epoch-block program).  Per-epoch lr / momentum
+        / gibbs-k schedules arrive as (E,) arrays; validation metrics run
+        in-program under their epoch cadence via `lax.cond`.  PRNG fold
+        chains match the per-epoch programs exactly, so trajectories and
+        metric streams are bitwise-identical (asserted in
+        tests/test_dbm.py)."""
+        val_every = int(self.val_metrics_every_epoch)
+        nan = float('nan')
+
+        def block_fn(state, full, rem, val_full, val_rem, lrs, moms, ks,
+                     key, iter0, epochs):
+            def epoch_body(carry, xs):
+                state, it = carry
+                lr, mom, k, e = xs
+                ekey = jax.random.fold_in(key, e)
+
+                def scan_body(carry, X_batch):
+                    state, it = carry
+                    it = it + 1
+                    new_state, (msre, n_mf) = self._train_step(
+                        state, X_batch, lr, mom, k,
+                        jax.random.fold_in(ekey, it))
+                    return (new_state, it), (msre, n_mf)
+
+                (state, it), (msres, n_mfs) = jax.lax.scan(
+                    scan_body, (state, it), full)
+                parts = [msres, n_mfs]
+                if rem is not None:
+                    it = it + 1
+                    state, (m, n) = self._train_step(
+                        state, rem, lr, mom, k, jax.random.fold_in(ekey, it))
+                    parts += [m, n]
+                outs = {'train': tuple(parts)}
+                if use_val:
+                    def do_val(_):
+                        return self._val_core(state, val_full, val_rem)
+
+                    def no_val(_):
+                        nvb = (int(val_full.shape[0])
+                               if val_full is not None else 0) \
+                            + (1 if val_rem is not None else 0)
+                        z = jnp.full((nvb,), nan, self._jnp_dtype)
+                        return z, z
+
+                    outs['val'] = jax.lax.cond(e % val_every == 0, do_val,
+                                               no_val, None)
+                return (state, it), outs
+
+            (state, it), stacked = jax.lax.scan(
+                epoch_body, (state, iter0), (lrs, moms, ks, epochs))
+            return state, stacked
+
+        return jax.jit(block_fn, donate_argnums=(0,))
+
+    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp):
+        """Block-dispatch fit loop: one device program + one queued metric
+        readback per block of up to 64 epochs, with summaries/checkpoints
+        at block boundaries (identical cadences to the per-epoch loop)."""
+        from .utils.utils import _HAVE_TQDM
+        n_full = int(full.shape[0])
+        per_epoch_iters = n_full + (1 if rem is not None else 0)
+        use_val = staged_val is not None and (
+            staged_val[0].shape[0] or staged_val[1] is not None)
+        val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
+            else (None, None)
+        prog = self._program(('train_block', use_val),
+                             lambda: self._train_block_program(use_val))
+        bar = None
+        if self.verbose and _HAVE_TQDM:
+            from tqdm import tqdm
+            bar = tqdm(total=self.max_epoch, initial=self.epoch_,
+                       leave=True, ncols=84, desc='training')
+        try:
+            for (e0, e1) in self._block_spans(self.epoch_):
+                epochs = np.arange(e0 + 1, e1 + 1, dtype=np.int32)
+                lrs = np.asarray([schedule_value(self.learning_rate, t)
+                                  for t in epochs], self._np_dtype)
+                moms = np.asarray([schedule_value(self.momentum, t)
+                                   for t in epochs], self._np_dtype)
+                ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
+                                 for t in epochs], np.int32)
+                iter0 = self.iter_
+                self._state, stacked = prog(
+                    self._state, full, rem, val_full, val_rem, lrs, moms,
+                    ks, self._fit_key, iter0, epochs)
+                self.iter_ += len(epochs) * per_epoch_iters
+                self.epoch_ = int(e1)
+                arrays, consume = self._make_block_finisher(
+                    stacked, epochs, iter0, per_epoch_iters, n_full,
+                    rem is not None, use_val)
+                mp.submit(arrays, consume)
+                # summaries/checkpoint at the block boundary -- the
+                # boundary epoch IS a cadence epoch by _block_spans
+                every = int(self.train_metrics_every_iter)
+                last_lo = self.iter_ - per_epoch_iters
+                logged = bool(((np.arange(last_lo + 1, self.iter_ + 1)
+                                % every) == 0).any())
+                want_summaries = logged and \
+                    self.epoch_ % self.summaries_every_epoch == 0
+                want_ckpt = self.save_after_each_epoch and \
+                    self.epoch_ % self.checkpoint_every_epoch == 0
+                if want_summaries or want_ckpt:
+                    self._submit_epoch_host_work(aw, want_summaries,
+                                                 want_ckpt)
+                if bar is not None:
+                    bar.update(len(epochs))
+        finally:
+            if bar is not None:
+                bar.close()
+
+    def _make_block_finisher(self, stacked, epochs, iter0, per_epoch_iters,
+                             n_full, has_rem, use_val):
+        """(arrays, consume) for a WHOLE BLOCK: one queued fetch of the
+        stacked per-epoch metric arrays; `consume` replays the per-epoch
+        scalar writes and verbose lines in epoch order."""
+        every = int(self.train_metrics_every_iter)
+        val_every = int(self.val_metrics_every_epoch)
+        max_epoch = self.max_epoch
+        arrays = list(stacked['train'])
+        n_train = len(arrays)
+        if use_val:
+            arrays += list(stacked['val'])
+
+        def consume(fetched):
+            train = fetched[:n_train]
+            val = fetched[n_train:n_train + 2] if use_val else None
+            for i, e in enumerate(epochs):
+                e = int(e)
+                step = iter0 + (i + 1) * per_epoch_iters
+                iters = step - per_epoch_iters + 1 + np.arange(
+                    per_epoch_iters)
+                mask = (iters % every) == 0
+                train_msre = train_n_mf = None
+                if mask.any():
+                    msres = np.asarray(train[0][i]).reshape(-1)[:n_full]
+                    n_mfs = np.asarray(train[1][i]).reshape(-1)[:n_full]
+                    if n_train > 2:  # remainder step scalars
+                        msres = np.append(msres, np.asarray(train[2][i]))
+                        n_mfs = np.append(n_mfs, np.asarray(train[3][i]))
+                    train_msre = float(msres[mask].mean())
+                    train_n_mf = float(n_mfs[mask].mean())
+                val_msre = val_n_mf = None
+                if use_val and e % val_every == 0:
+                    val_msre = float(np.mean(np.asarray(val[0][i])))
+                    val_n_mf = float(np.mean(np.asarray(val[1][i])))
+                if train_msre is not None:
+                    self._train_writer.add_scalar(
+                        'mean_squared_recon_error', train_msre, step)
+                    self._train_writer.add_scalar('n_mf_updates',
+                                                  train_n_mf, step)
+                if val_msre is not None and np.isfinite(val_msre):
+                    self._val_writer.add_scalar(
+                        'mean_squared_recon_error', val_msre, step)
+                    self._val_writer.add_scalar('n_mf_updates', val_n_mf,
+                                                step)
+                if self.verbose:
+                    s = 'epoch: {0:{1}}/{2}'.format(
+                        e, len(str(max_epoch)), max_epoch)
+                    if train_msre is not None:
+                        s += '; msre: {0:.5f}'.format(train_msre)
+                    if train_n_mf is not None:
+                        s += '; n_mf_upds: {0:.1f}'.format(train_n_mf)
+                    if val_msre is not None and np.isfinite(val_msre):
+                        s += '; val.msre: {0:.5f}'.format(val_msre)
+                        s += '; val.n_mf_upds: {0:.1f}'.format(val_n_mf)
+                    write_during_training(s)
+            self._train_writer.flush()
+            self._val_writer.flush()
+
+        return arrays, consume
+
     def _val_metrics_program(self):
         def val_fn(state, X_batches):
             def scan_body(_, X_batch):
@@ -1062,6 +1263,14 @@ class DBM(EnergyBasedModel):
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_val, aw, mp):
+        # single-device XLA path: dispatch whole EPOCH BLOCKS (up to 64
+        # epochs per program, val metrics in-program) -- one link
+        # interaction per block instead of several per epoch.  The Pallas
+        # and shard_map paths keep the per-epoch loop; BMT_EPOCH_BLOCKS=0
+        # forces it everywhere (used by the equivalence tests).
+        if not use_pallas and not use_shardmap and self._mesh is None \
+                and os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
+            return self._fit_epoch_blocks(full, rem, staged_val, aw, mp)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):

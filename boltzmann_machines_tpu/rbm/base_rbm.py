@@ -1180,26 +1180,6 @@ class BaseRBM(EnergyBasedModel):
 
         return jax.jit(block_fn, donate_argnums=(0,))
 
-    def _block_spans(self, start, cap=64):
-        """Split (start, max_epoch] into dispatch blocks that end at every
-        host-event epoch (checkpoint / summaries cadence) and never exceed
-        `cap` epochs (keeps progress, interrupts, and the metric drain
-        responsive)."""
-        spans = []
-        e = start
-        while e < self.max_epoch:
-            end = min(e + cap, self.max_epoch)
-            for cadence in (self.checkpoint_every_epoch
-                            if self.save_after_each_epoch else 0,
-                            self.summaries_every_epoch):
-                if cadence:
-                    nxt = ((e // cadence) + 1) * cadence
-                    if e < nxt < end:
-                        end = nxt
-            spans.append((e, end))
-            e = end
-        return spans
-
     def _fit_epoch_blocks(self, full, rem, staged_train, staged_val, aw, mp):
         """Block-dispatch fit loop: one device program + one queued metric
         readback per block of up to 64 epochs (vs several link round trips

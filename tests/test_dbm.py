@@ -127,6 +127,53 @@ def test_determinism(data, tmp_path):
     np.testing.assert_allclose(d1.transform(data), d2.transform(data))
 
 
+def test_epoch_block_path_matches_per_epoch_path(data, tmp_path,
+                                                 monkeypatch):
+    """The DBM epoch-block fit loop (whole blocks of epochs in one jitted
+    dispatch, val metrics in-program under `lax.cond`) must be bitwise-
+    identical to the per-epoch dispatch loop -- weights, transforms, and
+    the scalar metric streams (train/val msre + n_mf_updates)."""
+    import json
+    import os
+
+    def read_scalars(logdir):
+        with open(os.path.join(logdir, 'scalars.jsonl')) as f:
+            return sorted((r['tag'], r['step'], r['value'])
+                          for r in map(json.loads, f))
+
+    tmp = str(tmp_path) + '/'
+    X_val = (RNG(7).rand(12, V) < 0.4).astype('float32')
+    # batch_size 9 on 40 rows: 4 full batches + a remainder step, so the
+    # block program's in-epoch remainder branch is exercised too
+    kw = dict(max_epoch=5, batch_size=9, train_metrics_every_iter=2,
+              val_metrics_every_epoch=2)
+
+    r1, r2 = pretrain_rbms(data, tmp + 'b_')
+    db = make_dbm((r1, r2), tmp + 'b_', **kw)
+    db.fit(data, X_val)
+
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    r1, r2 = pretrain_rbms(data, tmp + 'p_')
+    dp = make_dbm((r1, r2), tmp + 'p_', **kw)
+    dp.fit(data, X_val)
+
+    sb = db._get_state_arrays()
+    sp = dp._get_state_arrays()
+    assert set(sb) == set(sp)
+    for k in sb:
+        np.testing.assert_allclose(sb[k], sp[k], err_msg=k)
+    np.testing.assert_allclose(db.transform(data), dp.transform(data))
+    assert db.epoch_ == dp.epoch_ and db.iter_ == dp.iter_
+
+    for side in ('train', 'val'):
+        scal_b = read_scalars(tmp + 'b_dbm/logs/' + side)
+        scal_p = read_scalars(tmp + 'p_dbm/logs/' + side)
+        assert [(t, s) for t, s, _ in scal_b] == \
+            [(t, s) for t, s, _ in scal_p]
+        np.testing.assert_allclose([v for _, _, v in scal_b],
+                                   [v for _, _, v in scal_p], rtol=1e-6)
+
+
 def test_save_load_resume(trained, data):
     dbm, tmp = trained
     # re-save: earlier tests may have advanced the persistent chains
