@@ -423,6 +423,28 @@ class JAXModel(BaseModel, DtypeMixin):
             cache = self._epoch_seed_cache
         return int(cache[1][epoch])
 
+    def _epoch_seeds(self, base_key, epochs):
+        """(E,) uint32 kernel-seed array for a block of epochs -- each
+        element bitwise-identical to ``_epoch_seed(base_key, e)``."""
+        return np.asarray([self._epoch_seed(base_key, int(e))
+                           for e in epochs], np.uint32)
+
+    def _constant_k_runs(self, e0, e1):
+        """Split (e0, e1] into maximal runs of constant gibbs-k (the fused
+        epoch kernels are compiled per k, so a Pallas epoch block must not
+        straddle a k-schedule step)."""
+        from ..utils.utils import schedule_value
+        runs = []
+        r0 = e0
+        k0 = schedule_value(self.n_gibbs_steps, e0 + 1)
+        for t in range(e0 + 2, e1 + 1):
+            kt = schedule_value(self.n_gibbs_steps, t)
+            if kt != k0:
+                runs.append((r0, t - 1))
+                r0, k0 = t - 1, kt
+        runs.append((r0, e1))
+        return runs
+
     def _block_spans(self, start, cap=64):
         """Split (start, max_epoch] into dispatch blocks that end at every
         host-event epoch (checkpoint / summaries cadence) and never exceed

@@ -764,9 +764,6 @@ class DBM(EnergyBasedModel):
         chains match the per-epoch programs exactly, so trajectories and
         metric streams are bitwise-identical (asserted in
         tests/test_dbm.py)."""
-        val_every = int(self.val_metrics_every_epoch)
-        nan = float('nan')
-
         def block_fn(state, full, rem, val_full, val_rem, lrs, moms, ks,
                      key, iter0, epochs):
             def epoch_body(carry, xs):
@@ -790,20 +787,8 @@ class DBM(EnergyBasedModel):
                     state, (m, n) = self._train_step(
                         state, rem, lr, mom, k, jax.random.fold_in(ekey, it))
                     parts += [m, n]
-                outs = {'train': tuple(parts)}
-                if use_val:
-                    def do_val(_):
-                        return self._val_core(state, val_full, val_rem)
-
-                    def no_val(_):
-                        nvb = (int(val_full.shape[0])
-                               if val_full is not None else 0) \
-                            + (1 if val_rem is not None else 0)
-                        z = jnp.full((nvb,), nan, self._jnp_dtype)
-                        return z, z
-
-                    outs['val'] = jax.lax.cond(e % val_every == 0, do_val,
-                                               no_val, None)
+                outs = self._block_val({'train': tuple(parts)}, state, e,
+                                       val_full, val_rem, use_val)
                 return (state, it), outs
 
             (state, it), stacked = jax.lax.scan(
@@ -812,10 +797,72 @@ class DBM(EnergyBasedModel):
 
         return jax.jit(block_fn, donate_argnums=(0,))
 
-    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp):
+    def _block_val(self, outs, state, e, val_full, val_rem, use_val):
+        """Fill `outs` with the in-program val-metrics entry of one block
+        epoch under `lax.cond` at the val cadence (nan rows off-cadence)."""
+        if not use_val:
+            return outs
+        val_every = int(self.val_metrics_every_epoch)
+        nan = float('nan')
+
+        def do_val(_):
+            return self._val_core(state, val_full, val_rem)
+
+        def no_val(_):
+            nvb = (int(val_full.shape[0]) if val_full is not None else 0) \
+                + (1 if val_rem is not None else 0)
+            z = jnp.full((nvb,), nan, self._jnp_dtype)
+            return z, z
+
+        outs['val'] = jax.lax.cond(e % val_every == 0, do_val, no_val, None)
+        return outs
+
+    def _pallas_block_program(self, k, n_full, use_val):
+        """E epochs of fused-kernel PCD/MF training in one jitted dispatch:
+        the Pallas DBM-epoch kernel runs once per scanned epoch, the XLA
+        remainder step and in-program val metrics wrap around it.  Kernel
+        seed stream and remainder key folds are identical to the per-epoch
+        Pallas path.  Returns None when the kernel declines the shape."""
+        epoch_core = self._pallas_epoch_program(k, n_full)
+        if epoch_core is None:
+            return None
+
+        def block_fn(state, full, rem, val_full, val_rem, lrs, moms, seeds,
+                     key, iter0, epochs):
+            def epoch_body(carry, xs):
+                state, it = carry
+                lr, mom, seed, e = xs
+                if n_full > 0:
+                    state, msres, n_mfs = epoch_core(state, full, lr, mom,
+                                                     seed)
+                    it = it + n_full
+                    parts = [msres, n_mfs]
+                else:
+                    z = jnp.zeros((0,), self._jnp_dtype)
+                    parts = [z, z]
+                if rem is not None:
+                    ekey = jax.random.fold_in(key, e)
+                    it = it + 1
+                    state, (m, n) = self._train_step(
+                        state, rem, lr, mom, k, jax.random.fold_in(ekey, it))
+                    parts += [m, n]
+                outs = self._block_val({'train': tuple(parts)}, state, e,
+                                       val_full, val_rem, use_val)
+                return (state, it), outs
+
+            (state, it), stacked = jax.lax.scan(
+                epoch_body, (state, iter0), (lrs, moms, seeds, epochs))
+            return state, stacked
+
+        return jax.jit(block_fn, donate_argnums=(0,))
+
+    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp,
+                          use_pallas=False):
         """Block-dispatch fit loop: one device program + one queued metric
         readback per block of up to 64 epochs, with summaries/checkpoints
-        at block boundaries (identical cadences to the per-epoch loop)."""
+        at block boundaries (identical cadences to the per-epoch loop).
+        With `use_pallas` the in-block epochs run the fused DBM-epoch
+        kernel (blocks additionally split at gibbs-k changes)."""
         from .utils.utils import _HAVE_TQDM
         n_full = int(full.shape[0])
         per_epoch_iters = n_full + (1 if rem is not None else 0)
@@ -823,8 +870,10 @@ class DBM(EnergyBasedModel):
             staged_val[0].shape[0] or staged_val[1] is not None)
         val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
             else (None, None)
-        prog = self._program(('train_block', use_val),
-                             lambda: self._train_block_program(use_val))
+        prog = None
+        if not use_pallas:
+            prog = self._program(('train_block', use_val),
+                                 lambda: self._train_block_program(use_val))
         bar = None
         if self.verbose and _HAVE_TQDM:
             from tqdm import tqdm
@@ -832,23 +881,46 @@ class DBM(EnergyBasedModel):
                        leave=True, ncols=84, desc='training')
         try:
             for (e0, e1) in self._block_spans(self.epoch_):
-                epochs = np.arange(e0 + 1, e1 + 1, dtype=np.int32)
-                lrs = np.asarray([schedule_value(self.learning_rate, t)
-                                  for t in epochs], self._np_dtype)
-                moms = np.asarray([schedule_value(self.momentum, t)
-                                   for t in epochs], self._np_dtype)
-                ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
-                                 for t in epochs], np.int32)
-                iter0 = self.iter_
-                self._state, stacked = prog(
-                    self._state, full, rem, val_full, val_rem, lrs, moms,
-                    ks, self._fit_key, iter0, epochs)
-                self.iter_ += len(epochs) * per_epoch_iters
-                self.epoch_ = int(e1)
-                arrays, consume = self._make_block_finisher(
-                    stacked, epochs, iter0, per_epoch_iters, n_full,
-                    rem is not None, use_val)
-                mp.submit(arrays, consume)
+                runs = self._constant_k_runs(e0, e1) if use_pallas \
+                    else [(e0, e1)]
+                for (r0, r1) in runs:
+                    epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
+                    lrs = np.asarray([schedule_value(self.learning_rate, t)
+                                      for t in epochs], self._np_dtype)
+                    moms = np.asarray([schedule_value(self.momentum, t)
+                                       for t in epochs], self._np_dtype)
+                    if use_pallas:
+                        kk = int(schedule_value(self.n_gibbs_steps,
+                                                int(epochs[0])))
+                        kprog = self._program(
+                            ('pallas_block', kk, n_full, use_val),
+                            lambda kk=kk: self._pallas_block_program(
+                                kk, n_full, use_val))
+                        if kprog is None:  # kernel declined (VMEM budget)
+                            if bar is not None:
+                                bar.close()
+                                bar = None
+                            return self._fit_epoch_blocks(
+                                full, rem, staged_val, aw, mp)
+                        sched = self._epoch_seeds(self._fit_key, epochs)
+                        run_prog = kprog
+                    else:
+                        sched = np.asarray(
+                            [schedule_value(self.n_gibbs_steps, t)
+                             for t in epochs], np.int32)
+                        run_prog = prog
+                    iter0 = self.iter_
+                    self._state, stacked = run_prog(
+                        self._state, full, rem, val_full, val_rem, lrs,
+                        moms, sched, self._fit_key, iter0, epochs)
+                    self.iter_ += len(epochs) * per_epoch_iters
+                    self.epoch_ = int(r1)
+                    arrays, consume = self._make_block_finisher(
+                        stacked, epochs, iter0, per_epoch_iters, n_full,
+                        rem is not None, use_val)
+                    mp.submit(arrays, consume)
+                    if bar is not None:
+                        bar.update(len(epochs))
                 # summaries/checkpoint at the block boundary -- the
                 # boundary epoch IS a cadence epoch by _block_spans
                 every = int(self.train_metrics_every_iter)
@@ -862,8 +934,6 @@ class DBM(EnergyBasedModel):
                 if want_summaries or want_ckpt:
                     self._submit_epoch_host_work(aw, want_summaries,
                                                  want_ckpt)
-                if bar is not None:
-                    bar.update(len(epochs))
         finally:
             if bar is not None:
                 bar.close()
@@ -1263,14 +1333,16 @@ class DBM(EnergyBasedModel):
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_val, aw, mp):
-        # single-device XLA path: dispatch whole EPOCH BLOCKS (up to 64
-        # epochs per program, val metrics in-program) -- one link
-        # interaction per block instead of several per epoch.  The Pallas
-        # and shard_map paths keep the per-epoch loop; BMT_EPOCH_BLOCKS=0
-        # forces it everywhere (used by the equivalence tests).
-        if not use_pallas and not use_shardmap and self._mesh is None \
+        # single-device paths: dispatch whole EPOCH BLOCKS (up to 64 epochs
+        # per program -- fused Pallas kernel epochs or XLA epochs -- with
+        # val metrics in-program) -- one link interaction per block instead
+        # of several per epoch.  The shard_map/mesh paths keep the
+        # per-epoch loop; BMT_EPOCH_BLOCKS=0 forces it everywhere (used by
+        # the equivalence tests).
+        if not use_shardmap and self._mesh is None \
                 and os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
-            return self._fit_epoch_blocks(full, rem, staged_val, aw, mp)
+            return self._fit_epoch_blocks(full, rem, staged_val, aw, mp,
+                                          use_pallas=use_pallas)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):

@@ -1125,15 +1125,50 @@ class BaseRBM(EnergyBasedModel):
 
         return side_count(staged_val), side_count(staged_train)
 
+    def _block_valfeg(self, outs, state, e, key, full, rem, val_full,
+                      val_rem, k, use_val, use_feg):
+        """Fill `outs` with the in-program val-metrics / FEG entries of one
+        block epoch, each under `lax.cond` at its epoch cadence (nan rows
+        on off-cadence epochs).  Key folds match the dispatched per-epoch
+        paths exactly."""
+        val_every = int(self.metrics_config['val_metrics_every_epoch'])
+        feg_every = int(self.metrics_config['feg_every_epoch'])
+        nan = float('nan')
+        if use_val:
+            def do_val(_):
+                vkey = jax.random.fold_in(key, 100000 + e)
+                return self._val_core(state, val_full, val_rem, k, vkey)
+
+            def no_val(_):
+                nvb = (int(val_full.shape[0])
+                       if val_full is not None else 0) \
+                    + (1 if val_rem is not None else 0)
+                z = jnp.full((nvb,), nan, self._jnp_dtype)
+                return z, z
+
+            outs['val'] = jax.lax.cond(e % val_every == 0, do_val, no_val,
+                                       None)
+        if use_feg:
+            def do_feg(_):
+                fkey = jax.random.fold_in(key, 200000 + e)
+                return self._feg_core(state, full, rem, val_full, val_rem,
+                                      fkey)
+
+            def no_feg(_):
+                nv, nt = self._feg_counts(
+                    (full, rem, None), (val_full, val_rem, None))
+                return (jnp.full((nv,), nan, self._jnp_dtype),
+                        jnp.full((nt,), nan, self._jnp_dtype))
+
+            outs['feg'] = jax.lax.cond(e % feg_every == 0, do_feg, no_feg,
+                                       None)
+        return outs
+
     def _train_block_program(self, use_val, use_feg):
         """E epochs of training in one jitted dispatch.  Per-epoch lr /
         momentum / gibbs-k schedules arrive as (E,) arrays; validation and
         FEG run in-program under their epoch cadences via `lax.cond`.
         Returns (state, outs) with stacked per-epoch metric arrays."""
-        val_every = int(self.metrics_config['val_metrics_every_epoch'])
-        feg_every = int(self.metrics_config['feg_every_epoch'])
-        nan = float('nan')
-
         def block_fn(state, full, rem, val_full, val_rem, lrs, moms, ks,
                      key, iter0, epochs):
             def epoch_body(carry, xs):
@@ -1142,36 +1177,9 @@ class BaseRBM(EnergyBasedModel):
                 ekey = jax.random.fold_in(key, e)
                 state, it, parts = self._epoch_core_xla(
                     state, it, full, rem, lr, mom, k, ekey)
-                outs = {'train': parts}
-                if use_val:
-                    def do_val(_):
-                        vkey = jax.random.fold_in(key, 100000 + e)
-                        return self._val_core(state, val_full, val_rem, k,
-                                              vkey)
-
-                    def no_val(_):
-                        nvb = (int(val_full.shape[0])
-                               if val_full is not None else 0) \
-                            + (1 if val_rem is not None else 0)
-                        z = jnp.full((nvb,), nan, self._jnp_dtype)
-                        return z, z
-
-                    outs['val'] = jax.lax.cond(e % val_every == 0, do_val,
-                                               no_val, None)
-                if use_feg:
-                    def do_feg(_):
-                        fkey = jax.random.fold_in(key, 200000 + e)
-                        return self._feg_core(state, full, rem, val_full,
-                                              val_rem, fkey)
-
-                    def no_feg(_):
-                        nv, nt = self._feg_counts(
-                            (full, rem, None), (val_full, val_rem, None))
-                        return (jnp.full((nv,), nan, self._jnp_dtype),
-                                jnp.full((nt,), nan, self._jnp_dtype))
-
-                    outs['feg'] = jax.lax.cond(e % feg_every == 0, do_feg,
-                                               no_feg, None)
+                outs = self._block_valfeg({'train': parts}, state, e, key,
+                                          full, rem, val_full, val_rem, k,
+                                          use_val, use_feg)
                 return (state, it), outs
 
             (state, it), stacked = jax.lax.scan(
@@ -1180,10 +1188,72 @@ class BaseRBM(EnergyBasedModel):
 
         return jax.jit(block_fn, donate_argnums=(0,))
 
-    def _fit_epoch_blocks(self, full, rem, staged_train, staged_val, aw, mp):
+    def _pallas_block_program(self, k, n_full, use_val, use_feg):
+        """E epochs of fused-kernel training in one jitted dispatch: the
+        Pallas CD-epoch kernel runs once per scanned epoch (W resident in
+        VMEM for each epoch), the XLA remainder step and the in-program
+        val/FEG metrics wrap around it.  The per-epoch kernel `seed`
+        stream and the remainder/val/FEG key folds are identical to the
+        per-epoch Pallas path, so trajectories match bitwise.  Returns
+        None when the kernel declines the shape (VMEM budget)."""
+        epoch_core = self._pallas_epoch_program(k, n_full)
+        if epoch_core is None:
+            return None
+        every = int(self.metrics_config['train_metrics_every_iter'])
+
+        def block_fn(state, full, rem, val_full, val_rem, lrs, moms, seeds,
+                     key, iter0, epochs):
+            def epoch_body(carry, xs):
+                state, it = carry
+                lr, mom, seed, e = xs
+                if n_full > 0:
+                    state, msre_s, pll_s, l2_s = epoch_core(
+                        state, full, lr, mom, seed, it)
+                    it = it + n_full
+                    parts = (msre_s, pll_s, l2_s)
+                else:
+                    z = jnp.zeros((0,), self._jnp_dtype)
+                    parts = (z, z, z)
+                if rem is not None:
+                    # remainder step: fold chain identical to
+                    # `_train_step_program` under the per-epoch loop
+                    ekey = jax.random.fold_in(key, e)
+                    it = it + 1
+                    step_key = jax.random.fold_in(ekey, it)
+                    state, aux = self._cd_step(state, rem, lr, mom, k,
+                                               step_key)
+                    want = (it % every) == 0
+
+                    def metric_branch(_):
+                        m = self._metrics(state, aux['X'], aux['v_means'],
+                                          jax.random.fold_in(step_key, 7))
+                        return m['msre'], m['pll'], m['l2_loss']
+
+                    def zero_branch(_):
+                        z = jnp.zeros((), aux['X'].dtype)
+                        return z, z, z
+
+                    parts = parts + jax.lax.cond(want, metric_branch,
+                                                 zero_branch, None)
+                outs = self._block_valfeg({'train': parts}, state, e, key,
+                                          full, rem, val_full, val_rem, k,
+                                          use_val, use_feg)
+                return (state, it), outs
+
+            (state, it), stacked = jax.lax.scan(
+                epoch_body, (state, iter0), (lrs, moms, seeds, epochs))
+            return state, stacked
+
+        return jax.jit(block_fn, donate_argnums=(0,))
+
+    def _fit_epoch_blocks(self, full, rem, staged_train, staged_val, aw, mp,
+                          use_pallas=False):
         """Block-dispatch fit loop: one device program + one queued metric
         readback per block of up to 64 epochs (vs several link round trips
-        per epoch), with summaries/checkpoints at block boundaries."""
+        per epoch), with summaries/checkpoints at block boundaries.  With
+        `use_pallas` the in-block epochs run the fused CD-epoch kernel
+        (blocks are additionally split at gibbs-k schedule changes -- the
+        kernel is compiled per k); otherwise the XLA epoch core."""
         from ..utils.utils import _HAVE_TQDM
         n_full = int(full.shape[0])
         per_epoch_iters = n_full + (1 if rem is not None else 0)
@@ -1192,9 +1262,11 @@ class BaseRBM(EnergyBasedModel):
         use_feg = use_val and bool(self.metrics_config['feg'])
         val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
             else (None, None)
-        prog = self._program(('train_block', use_val, use_feg),
-                             lambda: self._train_block_program(use_val,
-                                                               use_feg))
+        prog = None
+        if not use_pallas:
+            prog = self._program(('train_block', use_val, use_feg),
+                                 lambda: self._train_block_program(use_val,
+                                                                   use_feg))
         bar = None
         if self.verbose and _HAVE_TQDM:
             from tqdm import tqdm
@@ -1202,27 +1274,48 @@ class BaseRBM(EnergyBasedModel):
                        leave=True, ncols=84, desc='training')
         try:
             for (e0, e1) in self._block_spans(self.epoch_):
-                epochs = np.arange(e0 + 1, e1 + 1, dtype=np.int32)
-                lrs = np.asarray([schedule_value(self.learning_rate, t)
-                                  for t in epochs], self._np_dtype)
-                moms = np.asarray([schedule_value(self.momentum, t)
-                                   for t in epochs], self._np_dtype)
-                ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
-                                 for t in epochs], np.int32)
-                iter0 = self.iter_
-                self._state, stacked = prog(
-                    self._state, full, rem, val_full, val_rem, lrs, moms,
-                    ks, self._fit_key, iter0, epochs)
-                self.iter_ += len(epochs) * per_epoch_iters
-                self.epoch_ = e1
-                arrays, consume = self._make_block_finisher(
-                    stacked, epochs, iter0, per_epoch_iters, n_full,
-                    rem is not None, use_val, use_feg)
-                mp.submit(arrays, consume)
+                runs = self._constant_k_runs(e0, e1) if use_pallas \
+                    else [(e0, e1)]
+                for (r0, r1) in runs:
+                    epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
+                    lrs = np.asarray([schedule_value(self.learning_rate, t)
+                                      for t in epochs], self._np_dtype)
+                    moms = np.asarray([schedule_value(self.momentum, t)
+                                       for t in epochs], self._np_dtype)
+                    if use_pallas:
+                        kk = int(schedule_value(self.n_gibbs_steps,
+                                                int(epochs[0])))
+                        kprog = self._program(
+                            ('pallas_block', kk, n_full, use_val, use_feg),
+                            lambda kk=kk: self._pallas_block_program(
+                                kk, n_full, use_val, use_feg))
+                        if kprog is None:  # kernel declined (VMEM budget)
+                            if bar is not None:
+                                bar.close()
+                                bar = None
+                            return self._fit_epoch_blocks(
+                                full, rem, staged_train, staged_val, aw, mp)
+                        sched = self._epoch_seeds(self._fit_key, epochs)
+                        run_prog = kprog
+                    else:
+                        sched = np.asarray(
+                            [schedule_value(self.n_gibbs_steps, t)
+                             for t in epochs], np.int32)
+                        run_prog = prog
+                    iter0 = self.iter_
+                    self._state, stacked = run_prog(
+                        self._state, full, rem, val_full, val_rem, lrs,
+                        moms, sched, self._fit_key, iter0, epochs)
+                    self.iter_ += len(epochs) * per_epoch_iters
+                    self.epoch_ = int(r1)
+                    arrays, consume = self._make_block_finisher(
+                        stacked, epochs, iter0, per_epoch_iters, n_full,
+                        rem is not None, use_val, use_feg)
+                    mp.submit(arrays, consume)
+                    if bar is not None:
+                        bar.update(len(epochs))
                 self._epoch_boundary_host_work(full, rem, aw, iter0,
                                                per_epoch_iters)
-                if bar is not None:
-                    bar.update(len(epochs))
         finally:
             if bar is not None:
                 bar.close()
@@ -1421,15 +1514,17 @@ class BaseRBM(EnergyBasedModel):
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_train, staged_val, aw, mp):
-        # single-device XLA path: dispatch whole EPOCH BLOCKS (up to 64
-        # epochs per program, val/FEG in-program) -- one link interaction
-        # per block instead of several per epoch.  Pallas/shard_map/mesh
-        # paths keep the per-epoch loop below.  BMT_EPOCH_BLOCKS=0 forces
-        # the per-epoch loop (used by the equivalence tests).
-        if not use_pallas and not use_shardmap and self._mesh is None \
+        # single-device paths: dispatch whole EPOCH BLOCKS (up to 64
+        # epochs per program -- fused Pallas kernel epochs or XLA epochs
+        # -- with val/FEG in-program) -- one link interaction per block
+        # instead of several per epoch.  shard_map/mesh paths keep the
+        # per-epoch loop below.  BMT_EPOCH_BLOCKS=0 forces the per-epoch
+        # loop (used by the equivalence tests).
+        if not use_shardmap and self._mesh is None \
                 and os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
             return self._fit_epoch_blocks(full, rem, staged_train,
-                                          staged_val, aw, mp)
+                                          staged_val, aw, mp,
+                                          use_pallas=use_pallas)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):

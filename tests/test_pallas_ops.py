@@ -326,3 +326,103 @@ def test_fit_auto_uses_pallas_and_learns(tmp_path):
     fe_rand = rbm.free_energy(
         (np.random.RandomState(3).rand(512, 64) < 0.5).astype('float32'))
     assert fe_data < fe_rand
+
+
+def _read_scalars(logdir):
+    import json
+    import os
+    with open(os.path.join(logdir, 'scalars.jsonl')) as f:
+        return sorted((r['tag'], r['step'], r['value'])
+                      for r in map(json.loads, f))
+
+
+def _assert_scalar_streams_match(path_a, path_b):
+    for side in ('train', 'val'):
+        sa = _read_scalars(path_a + 'logs/' + side)
+        sb = _read_scalars(path_b + 'logs/' + side)
+        assert [(t, s) for t, s, _ in sa] == [(t, s) for t, s, _ in sb]
+        np.testing.assert_allclose([v for _, _, v in sa],
+                                   [v for _, _, v in sb], rtol=1e-6)
+
+
+@requires_tpu
+def test_pallas_epoch_block_matches_per_epoch_rbm(tmp_path, monkeypatch):
+    """The Pallas epoch-BLOCK fit path (fused kernel epochs scanned inside
+    one jitted dispatch, remainder + val/FEG in-program) must match the
+    per-epoch Pallas dispatch loop bitwise: weights, transforms, and the
+    full scalar metric streams.  The stepped gibbs-k schedule exercises
+    the constant-k block splitting; batch 48 on 200 rows exercises the
+    in-block remainder step."""
+    from boltzmann_machines_tpu import BernoulliRBM
+
+    rng = np.random.RandomState(11)
+    X = (rng.rand(200, 96) < 0.4).astype('float32')
+    X_val = (rng.rand(40, 96) < 0.4).astype('float32')
+    cfg = dict(n_visible=96, n_hidden=64, max_epoch=6, batch_size=48,
+               learning_rate=0.05, momentum=0.7, n_gibbs_steps=[1, 1, 2],
+               random_seed=1337, verbose=False, save_after_each_epoch=False,
+               metrics_config=dict(msre=True, pll=True, l2_loss=True,
+                                   feg=True, train_metrics_every_iter=2,
+                                   val_metrics_every_epoch=2,
+                                   feg_every_epoch=3, n_batches_for_feg=2))
+    pa = str(tmp_path) + '/block/'
+    pb = str(tmp_path) + '/perepoch/'
+    ra = BernoulliRBM(model_path=pa, **cfg)
+    assert ra._pallas_eligible()
+    ra.fit(X, X_val)
+
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    rb = BernoulliRBM(model_path=pb, **cfg)
+    rb.fit(X, X_val)
+
+    wa = ra.get_params_arrays(scope='weights')
+    wb = rb.get_params_arrays(scope='weights')
+    for k in wa:
+        np.testing.assert_array_equal(wa[k], wb[k], err_msg=k)
+    np.testing.assert_allclose(ra.transform(X_val), rb.transform(X_val))
+    assert ra.epoch_ == rb.epoch_ and ra.iter_ == rb.iter_
+    _assert_scalar_streams_match(pa, pb)
+
+
+@requires_tpu
+def test_pallas_epoch_block_matches_per_epoch_dbm(tmp_path, monkeypatch):
+    """DBM analog: the fused DBM-epoch kernel scanned inside one block
+    dispatch must match the per-epoch kernel loop bitwise."""
+    from boltzmann_machines_tpu import BernoulliRBM, DBM
+
+    rng = np.random.RandomState(5)
+    X = (rng.rand(120, 32) < 0.4).astype('float32')
+    X_val = (rng.rand(30, 32) < 0.4).astype('float32')
+
+    def build(prefix):
+        r1 = BernoulliRBM(n_visible=32, n_hidden=24, dbm_first=True,
+                          max_epoch=2, batch_size=24, random_seed=1,
+                          verbose=False, model_path=prefix + 'r1/')
+        r1.fit(X)
+        Q = r1.transform(X)
+        r2 = BernoulliRBM(n_visible=24, n_hidden=16, dbm_last=True,
+                          max_epoch=2, batch_size=24, random_seed=2,
+                          verbose=False, model_path=prefix + 'r2/')
+        r2.fit(Q)
+        dbm = DBM(rbms=[r1, r2], n_particles=24, n_gibbs_steps=[1, 2],
+                  max_mf_updates=12, mf_tol=1e-7, learning_rate=0.01,
+                  momentum=0.5, max_epoch=5, batch_size=24, max_norm=4.,
+                  random_seed=3, verbose=False,
+                  train_metrics_every_iter=2, val_metrics_every_epoch=2,
+                  save_after_each_epoch=False, model_path=prefix + 'dbm/')
+        assert dbm._pallas_epoch_eligible()
+        dbm.fit(X, X_val)
+        return dbm
+
+    pa = str(tmp_path) + '/b_'
+    pb = str(tmp_path) + '/p_'
+    da = build(pa)
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    db = build(pb)
+
+    sa, sb = da._get_state_arrays(), db._get_state_arrays()
+    assert set(sa) == set(sb)
+    for k in sa:
+        np.testing.assert_array_equal(sa[k], sb[k], err_msg=k)
+    np.testing.assert_allclose(da.transform(X), db.transform(X))
+    _assert_scalar_streams_match(pa + 'dbm/', pb + 'dbm/')
