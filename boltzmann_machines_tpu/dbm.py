@@ -636,9 +636,9 @@ class DBM(EnergyBasedModel):
                 return False
         return True
 
-    def _shardmap_epoch_program(self, k):
-        """One DBM training epoch over a data-parallel mesh as a single
-        jitted shard_map program.  Each shard runs mean-field on its batch
+    def _shardmap_epoch_core(self, k):
+        """One DBM training epoch over a data-parallel mesh as a
+        shard_map program.  Each shard runs mean-field on its batch
         rows (globally-synchronized convergence via pmax) and advances its
         rows of the persistent chains; the PCD gradient statistics are
         psum-reduced over ICI and every shard applies the identical update.
@@ -686,7 +686,43 @@ class DBM(EnergyBasedModel):
                       rep),
             out_specs=(state_spec, rep, (rep, rep)),
             check_vma=False)
-        return jax.jit(sm, donate_argnums=(0,))
+        return sm
+
+    def _shardmap_epoch_program(self, k):
+        """One jitted dispatch of the shard_map DBM epoch."""
+        return jax.jit(self._shardmap_epoch_core(k), donate_argnums=(0,))
+
+    def _shardmap_block_program(self, k, use_val):
+        """E epochs of mesh-sharded PCD/MF training in one jitted dispatch:
+        the shard_map DBM epoch (sharded batch rows + persistent chains,
+        psum'd statistics, pmax'd MF convergence) runs once per scanned
+        epoch; the GSPMD remainder step and in-program val metrics wrap
+        around it.  Key folds match the per-epoch mesh loop exactly."""
+        sm = self._shardmap_epoch_core(k)
+
+        def block_fn(state, full, rem, val_full, val_rem, lrs, moms,
+                     ks_unused, key, iter0, epochs):
+            def epoch_body(carry, xs):
+                state, it = carry
+                lr, mom, _, e = xs
+                ekey = jax.random.fold_in(key, e)
+                state, it, (msres, n_mfs) = sm(
+                    state, full, lr, mom, jnp.zeros((), jnp.int32), ekey, it)
+                parts = [msres, n_mfs]
+                if rem is not None:
+                    it = it + 1
+                    state, (m, n) = self._train_step(
+                        state, rem, lr, mom, k, jax.random.fold_in(ekey, it))
+                    parts += [m, n]
+                outs = self._block_val({'train': tuple(parts)}, state, e,
+                                       val_full, val_rem, use_val)
+                return (state, it), outs
+
+            (state, it), stacked = jax.lax.scan(
+                epoch_body, (state, iter0), (lrs, moms, ks_unused, epochs))
+            return state, stacked
+
+        return jax.jit(block_fn, donate_argnums=(0,))
 
     def _pallas_epoch_program(self, k, n_batches):
         from .ops.pallas_dbm import make_dbm_epoch_kernel
@@ -856,13 +892,13 @@ class DBM(EnergyBasedModel):
 
         return jax.jit(block_fn, donate_argnums=(0,))
 
-    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp,
-                          use_pallas=False):
+    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp, kind='xla'):
         """Block-dispatch fit loop: one device program + one queued metric
         readback per block of up to 64 epochs, with summaries/checkpoints
         at block boundaries (identical cadences to the per-epoch loop).
-        With `use_pallas` the in-block epochs run the fused DBM-epoch
-        kernel (blocks additionally split at gibbs-k changes)."""
+        `kind` selects the in-block epoch engine: 'xla', 'pallas' (fused
+        DBM-epoch kernel), or 'shardmap' (mesh epoch with psum'd stats);
+        the latter two split blocks at gibbs-k changes (per-k programs)."""
         from .utils.utils import _HAVE_TQDM
         n_full = int(full.shape[0])
         per_epoch_iters = n_full + (1 if rem is not None else 0)
@@ -871,7 +907,7 @@ class DBM(EnergyBasedModel):
         val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
             else (None, None)
         prog = None
-        if not use_pallas:
+        if kind == 'xla':
             prog = self._program(('train_block', use_val),
                                  lambda: self._train_block_program(use_val))
         bar = None
@@ -881,34 +917,39 @@ class DBM(EnergyBasedModel):
                        leave=True, ncols=84, desc='training')
         try:
             for (e0, e1) in self._block_spans(self.epoch_):
-                runs = self._constant_k_runs(e0, e1) if use_pallas \
-                    else [(e0, e1)]
+                runs = [(e0, e1)] if kind == 'xla' \
+                    else self._constant_k_runs(e0, e1)
                 for (r0, r1) in runs:
                     epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
                     lrs = np.asarray([schedule_value(self.learning_rate, t)
                                       for t in epochs], self._np_dtype)
                     moms = np.asarray([schedule_value(self.momentum, t)
                                        for t in epochs], self._np_dtype)
-                    if use_pallas:
-                        kk = int(schedule_value(self.n_gibbs_steps,
-                                                int(epochs[0])))
-                        kprog = self._program(
+                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
+                                     for t in epochs], np.int32)
+                    if kind == 'pallas':
+                        kk = int(ks[0])
+                        run_prog = self._program(
                             ('pallas_block', kk, n_full, use_val),
                             lambda kk=kk: self._pallas_block_program(
                                 kk, n_full, use_val))
-                        if kprog is None:  # kernel declined (VMEM budget)
+                        if run_prog is None:  # kernel declined (VMEM)
                             if bar is not None:
                                 bar.close()
                                 bar = None
                             return self._fit_epoch_blocks(
                                 full, rem, staged_val, aw, mp)
                         sched = self._epoch_seeds(self._fit_key, epochs)
-                        run_prog = kprog
+                    elif kind == 'shardmap':
+                        kk = int(ks[0])
+                        run_prog = self._program(
+                            ('shardmap_block', kk, use_val),
+                            lambda kk=kk: self._shardmap_block_program(
+                                kk, use_val))
+                        sched = ks
                     else:
-                        sched = np.asarray(
-                            [schedule_value(self.n_gibbs_steps, t)
-                             for t in epochs], np.int32)
                         run_prog = prog
+                        sched = ks
                     iter0 = self.iter_
                     self._state, stacked = run_prog(
                         self._state, full, rem, val_full, val_rem, lrs,
@@ -1333,16 +1374,20 @@ class DBM(EnergyBasedModel):
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_val, aw, mp):
-        # single-device paths: dispatch whole EPOCH BLOCKS (up to 64 epochs
-        # per program -- fused Pallas kernel epochs or XLA epochs -- with
-        # val metrics in-program) -- one link interaction per block instead
-        # of several per epoch.  The shard_map/mesh paths keep the
+        # Dispatch whole EPOCH BLOCKS (up to 64 epochs per program --
+        # fused Pallas kernel epochs, shard_map mesh epochs, or XLA epochs
+        # -- with val metrics in-program): one link interaction per block
+        # instead of several per epoch.  GSPMD mesh fallbacks keep the
         # per-epoch loop; BMT_EPOCH_BLOCKS=0 forces it everywhere (used by
         # the equivalence tests).
-        if not use_shardmap and self._mesh is None \
-                and os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
-            return self._fit_epoch_blocks(full, rem, staged_val, aw, mp,
-                                          use_pallas=use_pallas)
+        if os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
+            if use_shardmap:
+                return self._fit_epoch_blocks(full, rem, staged_val, aw,
+                                              mp, kind='shardmap')
+            if self._mesh is None:
+                kind = 'pallas' if use_pallas else 'xla'
+                return self._fit_epoch_blocks(full, rem, staged_val, aw,
+                                              mp, kind=kind)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):

@@ -524,9 +524,9 @@ class BaseRBM(EnergyBasedModel):
                 + local_batch * (3 * self.n_visible + 6 * self.n_hidden) * 4)
         return vmem <= 96 * 1024 * 1024
 
-    def _shardmap_epoch_program(self, k):
-        """One training epoch over a data-parallel mesh as a single jitted
-        shard_map program: each shard computes CD-k sufficient statistics
+    def _shardmap_epoch_core(self, k):
+        """One training epoch over a data-parallel mesh as a shard_map
+        program: each shard computes CD-k sufficient statistics
         for its rows of every minibatch (fused Pallas stats kernel on TPU,
         lax elsewhere), the statistics are psum-reduced over ICI, and every
         shard applies the identical parameter update -- the state stays
@@ -622,7 +622,60 @@ class BaseRBM(EnergyBasedModel):
             in_specs=(P(), P(None, axis, None), P(), P(), P(), P(), P()),
             out_specs=(P(), P(), (P(), P(), P(), P())),
             check_vma=False)
-        return jax.jit(sm, donate_argnums=(0,))
+        return sm
+
+    def _shardmap_epoch_program(self, k):
+        """One jitted dispatch of the shard_map epoch (see
+        `_shardmap_epoch_core` for the program semantics)."""
+        return jax.jit(self._shardmap_epoch_core(k), donate_argnums=(0,))
+
+    def _shardmap_block_program(self, k, use_val, use_feg):
+        """E epochs of mesh-sharded training in one jitted dispatch: the
+        shard_map epoch (per-shard stats + psum + replicated update) runs
+        once per scanned epoch; the GSPMD remainder step and the
+        in-program val/FEG metrics wrap around it.  Key folds match the
+        per-epoch mesh loop exactly, so multi-chip training pays one host
+        interaction per block instead of several per epoch."""
+        sm = self._shardmap_epoch_core(k)
+        every = int(self.metrics_config['train_metrics_every_iter'])
+
+        def block_fn(state, full, rem, val_full, val_rem, lrs, moms,
+                     ks_unused, key, iter0, epochs):
+            def epoch_body(carry, xs):
+                state, it = carry
+                lr, mom, _, e = xs
+                ekey = jax.random.fold_in(key, e)
+                state, it, stacked = sm(state, full, lr, mom,
+                                        jnp.zeros((), jnp.int32), ekey, it)
+                parts = tuple(stacked[:3])
+                if rem is not None:
+                    it = it + 1
+                    step_key = jax.random.fold_in(ekey, it)
+                    state, aux = self._cd_step(state, rem, lr, mom, k,
+                                               step_key)
+                    want = (it % every) == 0
+
+                    def metric_branch(_):
+                        m = self._metrics(state, aux['X'], aux['v_means'],
+                                          jax.random.fold_in(step_key, 7))
+                        return m['msre'], m['pll'], m['l2_loss']
+
+                    def zero_branch(_):
+                        z = jnp.zeros((), aux['X'].dtype)
+                        return z, z, z
+
+                    parts = parts + jax.lax.cond(want, metric_branch,
+                                                 zero_branch, None)
+                outs = self._block_valfeg({'train': parts}, state, e, key,
+                                          full, rem, val_full, val_rem, k,
+                                          use_val, use_feg)
+                return (state, it), outs
+
+            (state, it), stacked = jax.lax.scan(
+                epoch_body, (state, iter0), (lrs, moms, ks_unused, epochs))
+            return state, stacked
+
+        return jax.jit(block_fn, donate_argnums=(0,))
 
     def _val_metrics_program(self):
         def val_fn(state, X_batches, k, key):
@@ -1247,13 +1300,15 @@ class BaseRBM(EnergyBasedModel):
         return jax.jit(block_fn, donate_argnums=(0,))
 
     def _fit_epoch_blocks(self, full, rem, staged_train, staged_val, aw, mp,
-                          use_pallas=False):
+                          kind='xla'):
         """Block-dispatch fit loop: one device program + one queued metric
         readback per block of up to 64 epochs (vs several link round trips
-        per epoch), with summaries/checkpoints at block boundaries.  With
-        `use_pallas` the in-block epochs run the fused CD-epoch kernel
-        (blocks are additionally split at gibbs-k schedule changes -- the
-        kernel is compiled per k); otherwise the XLA epoch core."""
+        per epoch), with summaries/checkpoints at block boundaries.
+        `kind` selects the in-block epoch engine: 'xla' (single-device lax
+        scan), 'pallas' (fused CD-epoch kernel), or 'shardmap' (mesh
+        shard_map epoch with psum'd statistics).  Pallas/shard_map blocks
+        are additionally split at gibbs-k schedule changes -- those
+        programs are compiled per k."""
         from ..utils.utils import _HAVE_TQDM
         n_full = int(full.shape[0])
         per_epoch_iters = n_full + (1 if rem is not None else 0)
@@ -1263,7 +1318,7 @@ class BaseRBM(EnergyBasedModel):
         val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
             else (None, None)
         prog = None
-        if not use_pallas:
+        if kind == 'xla':
             prog = self._program(('train_block', use_val, use_feg),
                                  lambda: self._train_block_program(use_val,
                                                                    use_feg))
@@ -1274,34 +1329,39 @@ class BaseRBM(EnergyBasedModel):
                        leave=True, ncols=84, desc='training')
         try:
             for (e0, e1) in self._block_spans(self.epoch_):
-                runs = self._constant_k_runs(e0, e1) if use_pallas \
-                    else [(e0, e1)]
+                runs = [(e0, e1)] if kind == 'xla' \
+                    else self._constant_k_runs(e0, e1)
                 for (r0, r1) in runs:
                     epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
                     lrs = np.asarray([schedule_value(self.learning_rate, t)
                                       for t in epochs], self._np_dtype)
                     moms = np.asarray([schedule_value(self.momentum, t)
                                        for t in epochs], self._np_dtype)
-                    if use_pallas:
-                        kk = int(schedule_value(self.n_gibbs_steps,
-                                                int(epochs[0])))
-                        kprog = self._program(
+                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
+                                     for t in epochs], np.int32)
+                    if kind == 'pallas':
+                        kk = int(ks[0])
+                        run_prog = self._program(
                             ('pallas_block', kk, n_full, use_val, use_feg),
                             lambda kk=kk: self._pallas_block_program(
                                 kk, n_full, use_val, use_feg))
-                        if kprog is None:  # kernel declined (VMEM budget)
+                        if run_prog is None:  # kernel declined (VMEM)
                             if bar is not None:
                                 bar.close()
                                 bar = None
                             return self._fit_epoch_blocks(
                                 full, rem, staged_train, staged_val, aw, mp)
                         sched = self._epoch_seeds(self._fit_key, epochs)
-                        run_prog = kprog
+                    elif kind == 'shardmap':
+                        kk = int(ks[0])
+                        run_prog = self._program(
+                            ('shardmap_block', kk, use_val, use_feg),
+                            lambda kk=kk: self._shardmap_block_program(
+                                kk, use_val, use_feg))
+                        sched = ks
                     else:
-                        sched = np.asarray(
-                            [schedule_value(self.n_gibbs_steps, t)
-                             for t in epochs], np.int32)
                         run_prog = prog
+                        sched = ks
                     iter0 = self.iter_
                     self._state, stacked = run_prog(
                         self._state, full, rem, val_full, val_rem, lrs,
@@ -1514,17 +1574,22 @@ class BaseRBM(EnergyBasedModel):
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_train, staged_val, aw, mp):
-        # single-device paths: dispatch whole EPOCH BLOCKS (up to 64
-        # epochs per program -- fused Pallas kernel epochs or XLA epochs
-        # -- with val/FEG in-program) -- one link interaction per block
-        # instead of several per epoch.  shard_map/mesh paths keep the
+        # Dispatch whole EPOCH BLOCKS (up to 64 epochs per program --
+        # fused Pallas kernel epochs, shard_map mesh epochs, or XLA epochs
+        # -- with val/FEG in-program): one link interaction per block
+        # instead of several per epoch.  GSPMD mesh fallbacks (forced
+        # kernel='xla' on a mesh, tensor-parallel weights) keep the
         # per-epoch loop below.  BMT_EPOCH_BLOCKS=0 forces the per-epoch
-        # loop (used by the equivalence tests).
-        if not use_shardmap and self._mesh is None \
-                and os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
-            return self._fit_epoch_blocks(full, rem, staged_train,
-                                          staged_val, aw, mp,
-                                          use_pallas=use_pallas)
+        # loop everywhere (used by the equivalence tests).
+        if os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
+            if use_shardmap:
+                return self._fit_epoch_blocks(full, rem, staged_train,
+                                              staged_val, aw, mp,
+                                              kind='shardmap')
+            if self._mesh is None:
+                kind = 'pallas' if use_pallas else 'xla'
+                return self._fit_epoch_blocks(full, rem, staged_train,
+                                              staged_val, aw, mp, kind=kind)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):

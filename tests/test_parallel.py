@@ -290,3 +290,71 @@ def test_rbm_manual_model_sharding_routes_to_gspmd(tmp_model_dir):
     assert not rbm._shardmap_eligible()
     rbm.fit(X)
     assert np.all(np.isfinite(rbm.get_params_arrays('weights')['W']))
+
+
+def test_rbm_shardmap_block_matches_per_epoch(tmp_model_dir, monkeypatch):
+    """The shard_map epoch-BLOCK fit loop (blocks of mesh epochs scanned
+    inside one jitted dispatch, GSPMD remainder + val/FEG in-program) must
+    be bitwise-identical to the per-epoch shard_map dispatch loop."""
+    X = RNG(1).rand(88, 12).astype('float32')   # 5 full batches + rem 8
+    X_val = RNG(2).rand(24, 12).astype('float32')
+    cfg = dict(n_visible=12, n_hidden=8, max_epoch=5, batch_size=16,
+               random_seed=1337, verbose=False, save_after_each_epoch=False,
+               l2=1e-4, sparsity_cost=1e-4,
+               metrics_config=dict(msre=True, pll=True, l2_loss=True,
+                                   feg=True, train_metrics_every_iter=2,
+                                   val_metrics_every_epoch=2,
+                                   feg_every_epoch=3, n_batches_for_feg=2))
+    rb = BernoulliRBM(model_path=tmp_model_dir + 'blk/', **cfg)
+    rb.set_mesh(make_mesh())
+    assert rb._shardmap_eligible()
+    rb.fit(X, X_val)
+
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    rp = BernoulliRBM(model_path=tmp_model_dir + 'pe/', **cfg)
+    rp.set_mesh(make_mesh())
+    rp.fit(X, X_val)
+
+    for scope in ('weights', 'grads_accumulators'):
+        a, b = rb.get_params_arrays(scope), rp.get_params_arrays(scope)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k],
+                                          err_msg='{0}/{1}'.format(scope, k))
+    assert rb.epoch_ == rp.epoch_ and rb.iter_ == rp.iter_
+
+
+def test_dbm_shardmap_block_matches_per_epoch(tmp_model_dir, monkeypatch):
+    """DBM analog: blocks of shard_map PCD/MF epochs in one dispatch match
+    the per-epoch mesh loop bitwise (state incl. sharded particles)."""
+    X = (RNG(1).rand(88, 12) < 0.5).astype('float32')
+    X_val = (RNG(2).rand(24, 12) < 0.5).astype('float32')
+
+    def make(path):
+        r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True,
+                          max_epoch=1, batch_size=16, random_seed=1,
+                          verbose=False, model_path=path + 'r1/')
+        r1.fit(X)
+        r2 = BernoulliRBM(n_visible=8, n_hidden=6, dbm_last=True,
+                          max_epoch=1, batch_size=16, random_seed=2,
+                          verbose=False, model_path=path + 'r2/')
+        r2.fit(r1.transform(X))
+        dbm = DBM(rbms=[r1, r2], n_particles=16, n_gibbs_steps=2,
+                  max_mf_updates=10, learning_rate=0.01, momentum=0.5,
+                  max_epoch=4, batch_size=16, max_norm=4., random_seed=3,
+                  verbose=False, train_metrics_every_iter=2,
+                  val_metrics_every_epoch=2, save_after_each_epoch=False,
+                  model_path=path + 'dbm/')
+        dbm.set_mesh(make_mesh())
+        assert dbm._shardmap_eligible()
+        dbm.fit(X, X_val)
+        return dbm
+
+    da = make(tmp_model_dir + 'blk/')
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    db = make(tmp_model_dir + 'pe/')
+
+    sa, sb = da._get_state_arrays(), db._get_state_arrays()
+    assert set(sa) == set(sb)
+    for k in sa:
+        np.testing.assert_array_equal(sa[k], sb[k], err_msg=k)
+    assert da.epoch_ == db.epoch_ and da.iter_ == db.iter_
