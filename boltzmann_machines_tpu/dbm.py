@@ -327,9 +327,12 @@ class DBM(EnergyBasedModel):
         return self
 
     def _put(self, X, batched=False):
-        X = jnp.asarray(X, dtype=self._jnp_dtype)
         if self._mesh is None:
-            return X
+            if getattr(X, 'dtype', None) == np.float16 \
+                    and self._np_dtype == np.float32:
+                return self._device_widen(np.ascontiguousarray(X))
+            return jnp.asarray(X, dtype=self._jnp_dtype)
+        X = jnp.asarray(X, dtype=self._jnp_dtype)
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh, axis = self._mesh
         n_shards = mesh.shape[axis]
@@ -1288,6 +1291,9 @@ class DBM(EnergyBasedModel):
     # fit loop                                                            #
     # ================================================================== #
     def _preprocess(self, X):
+        X = np.asarray(X)
+        if X.dtype == np.float16 and self._np_dtype == np.float32:
+            return X  # exact widening happens on device during staging
         return np.asarray(X, dtype=self._np_dtype)
 
     def _stage_batches(self, X):

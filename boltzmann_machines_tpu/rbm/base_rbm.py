@@ -873,7 +873,15 @@ class BaseRBM(EnergyBasedModel):
     # data staging                                                        #
     # ================================================================== #
     def _preprocess(self, X):
-        """Input hook (GaussianRBM divides by sigma, rbm.py:101-107)."""
+        """Input hook (GaussianRBM divides by sigma, rbm.py:101-107).
+
+        float16 inputs to a float32 model stay narrow on the host: the
+        exact f16->f32 widening happens on device during staging
+        (`_put` -> `JAXModel._device_widen`), skipping the 2x-larger host
+        copy and halving the upload -- bitwise-identical results."""
+        X = np.asarray(X)
+        if X.dtype == np.float16 and self._np_dtype == np.float32:
+            return X
         return np.asarray(X, dtype=self._np_dtype)
 
     def _stage_batches(self, X):
@@ -889,9 +897,12 @@ class BaseRBM(EnergyBasedModel):
         return full, rem, n_full
 
     def _put(self, X, batched=False):
-        X = jnp.asarray(X, dtype=self._jnp_dtype)
         if self._mesh is None:
-            return X
+            if getattr(X, 'dtype', None) == np.float16 \
+                    and self._np_dtype == np.float32:
+                return self._device_widen(np.ascontiguousarray(X))
+            return jnp.asarray(X, dtype=self._jnp_dtype)
+        X = jnp.asarray(X, dtype=self._jnp_dtype)
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh, axis = self._mesh
         n_shards = mesh.shape[axis]

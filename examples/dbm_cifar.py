@@ -79,15 +79,18 @@ def make_augmentation(X_train, y_train, n_train, args):
 
     print('\nAugmenting data ...')
     with Stopwatch(verbose=True):
-        # native C++ x10 augmentation (numpy fallback inside)
-        from boltzmann_machines_tpu.utils.native import augment_x10
+        from boltzmann_machines_tpu.utils.native import (augment_x10,
+                                                         augment_x10_u8_flat)
         X_im = im_unflatten(X_train)
-        X_aug = augment_x10(X_im)
-
-        RNG(seed=1337).shuffle(X_aug)
-
-        X_u8 = (X_aug * 255.).astype('uint8')
-        X_u8 = im_flatten(X_u8)
+        # fused native path writes the uint8 cache layout directly (1 byte
+        # per pixel first-touched instead of 4 + two conversion passes)
+        X_u8 = augment_x10_u8_flat(X_im)
+        if X_u8 is not None:
+            RNG(seed=1337).shuffle(X_u8)
+        else:  # numpy fallback: float augmentation + host conversion
+            X_aug = augment_x10(X_im)
+            RNG(seed=1337).shuffle(X_aug)
+            X_u8 = im_flatten((X_aug * 255.).astype('uint8'))
         os.makedirs(args.data_path, exist_ok=True)
         np.save(X_aug_path, X_u8)
     return X_u8.astype(np.float32) / 255., y_aug
@@ -453,15 +456,18 @@ def main():
                                os.path.join(args.data_path, 'Q_val_cifar.npy'),
                                np_dtype=np.float16)
 
-    mrbm = make_mrbm(Q_train.astype(np.float32), Q_val.astype(np.float32),
-                     args)
+    # the f16 feature matrices go to fit/transform UNCAST: the framework
+    # widens f16->f32 exactly on device during staging, skipping three
+    # separate 2x-sized host copies (at 490k x 7800 each `astype` is a
+    # 15.3 GB first-touch -- tens of minutes in sandboxed VMs)
+    mrbm = make_mrbm(Q_train, Q_val, args)
 
     print('\nExtracting M-RBM features ...\n')
-    G_train = make_rbm_transform(mrbm, Q_train.astype(np.float32),
+    G_train = make_rbm_transform(mrbm, Q_train,
                                  os.path.join(args.data_path, 'G_train_cifar.npy'))
 
     make_dbm((X_train_c, X_val_c), (grbm, mrbm),
-             (Q_train.astype(np.float32), G_train), args)
+             (Q_train[:args.n_particles].astype(np.float32), G_train), args)
 
     print('\nDiscriminative fine-tuning ...\n')
     W = hb = None

@@ -56,3 +56,19 @@ def test_native_idx_bad_magic():
         f.write(struct.pack('>IIII', 0xdead, 1, 2, 2))
         f.write(b'\x00' * 4)
     assert load_idx3(os.path.join(d, 'bad')) is None
+
+
+@pytest.mark.skipif(not native_available, reason='g++ toolchain unavailable')
+def test_augment_x10_u8_flat_matches_reference_composition():
+    """The fused uint8 augmentation must equal the original pipeline
+    augment -> *255 -> uint8 truncation -> im_flatten bitwise (it writes
+    the on-disk cache layout directly)."""
+    from boltzmann_machines_tpu.utils.native import augment_x10_u8_flat
+    from boltzmann_machines_tpu.utils.dataset import im_flatten
+
+    X = np.random.RandomState(3).rand(10, 8, 8, 3).astype(np.float32)
+    fused = augment_x10_u8_flat(X)
+    assert fused is not None and fused.shape == (100, 3 * 8 * 8) \
+        and fused.dtype == np.uint8
+    ref = im_flatten((augment_x10(X) * 255.).astype('uint8'))
+    np.testing.assert_array_equal(fused, ref)

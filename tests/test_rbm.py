@@ -249,3 +249,18 @@ def test_dbm_first_doubles_propup():
     rbm = BernoulliRBM(n_visible=4, n_hidden=2, dbm_last=True, verbose=False)
     assert rbm._propup_multiplier == 1.
     assert rbm._propdown_multiplier == 2.
+
+
+def test_float16_input_staging_is_exact(X, tmp_model_dir):
+    """float16 inputs to a float32 model are widened to float32 ON DEVICE
+    during staging (skipping the 2x host copy); f16 -> f32 is exact, so
+    training must be bitwise-identical to casting on the host first."""
+    X16 = X.astype(np.float16)
+    cfg = dict(RBM_CONFIG, max_epoch=3)
+    ra = BernoulliRBM(model_path=tmp_model_dir + 'f16/', **cfg)
+    ra.fit(X16)
+    rb = BernoulliRBM(model_path=tmp_model_dir + 'f32/', **cfg)
+    rb.fit(X16.astype(np.float32))
+    assert_weights_equal(ra, rb)
+    np.testing.assert_array_equal(ra.transform(X16),
+                                  rb.transform(X16.astype(np.float32)))
