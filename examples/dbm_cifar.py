@@ -75,7 +75,10 @@ def make_augmentation(X_train, y_train, n_train, args):
     if os.path.isfile(X_aug_path):
         X_aug = np.load(X_aug_path)
         if len(X_aug) == 10 * n_train:
-            return X_aug.astype(np.float32) / 255., y_aug
+            X = X_aug.astype(np.float32)
+            X /= 255.  # in place: multi-GB temporaries are expensive to
+            # first-touch in sandboxed VMs (see docs/tpu.md)
+            return X, y_aug
 
     print('\nAugmenting data ...')
     with Stopwatch(verbose=True):
@@ -93,7 +96,9 @@ def make_augmentation(X_train, y_train, n_train, args):
             X_u8 = im_flatten((X_aug * 255.).astype('uint8'))
         os.makedirs(args.data_path, exist_ok=True)
         np.save(X_aug_path, X_u8)
-    return X_u8.astype(np.float32) / 255., y_aug
+    X = X_u8.astype(np.float32)
+    X /= 255.  # in place (one 6 GB pass instead of two)
+    return X, y_aug
 
 
 def small_patches(X_im, i, j, offset=0):
@@ -438,9 +443,11 @@ def main():
         X_train, y_train = make_augmentation(X_train, y_train, len(X_train),
                                              args)
 
-    # center using the (augmented) training mean
+    # center using the (augmented) training mean; X_train is not used
+    # uncentered again, so center in place (skips a 6 GB copy)
     X_mean = X_train.mean(axis=0)
-    X_train_c = X_train - X_mean
+    X_train -= X_mean
+    X_train_c = X_train
     X_val_c = X_val - X_mean
     X_test_c = X_test - X_mean
 
