@@ -166,10 +166,18 @@ class MetricsPipeline(object):
                     fetched = fetch_many(*flat)
                     pos = 0
                     for arrays, consume in batch:
-                        consume(fetched[pos:pos + len(arrays)])
+                        # a consume failure (e.g. transient writer IO
+                        # error) must not abort the other epochs whose
+                        # data is already fetched; keep the FIRST error
+                        try:
+                            consume(fetched[pos:pos + len(arrays)])
+                        except BaseException as e:
+                            if self._exc is None:
+                                self._exc = e
                         pos += len(arrays)
             except BaseException as e:  # re-raised on the training thread
-                self._exc = e
+                if self._exc is None:
+                    self._exc = e
             for _ in batch:
                 self._q.task_done()
             if stop:
@@ -209,8 +217,9 @@ class AsyncEpochWriter(object):
     never stalls behind a slow checkpoint fetch -- on a link where one
     state fetch takes longer than ``checkpoint_every_epoch`` epochs of
     device time, intermediate checkpoints degrade to "as often as the
-    link sustains" instead of throttling the device (the final
-    end-of-fit checkpoint is always forced).  Light items (KB-scale
+    link sustains" instead of throttling the device (the end-of-fit
+    checkpoint is written synchronously by ``fit`` after the async lanes
+    join, outside this admission control).  Light items (KB-scale
     summary reductions) are always accepted.  Dropping is also
     memory-bounded by construction: each pending heavy item pins a full
     device-state snapshot in HBM, so at most two copies (one running,
@@ -474,6 +483,101 @@ class JAXModel(BaseModel, DtypeMixin):
         runs.append((r0, e1))
         return runs
 
+    # --------------------- epoch-block fit loop ------------------------ #
+    #
+    # Shared block-dispatch skeleton for both engines (BaseRBM and DBM):
+    # one device program + one queued metric readback per block of up to
+    # 64 epochs (vs several link round trips per epoch), with summaries /
+    # checkpoints at block boundaries.  Engines supply the in-block
+    # programs (`_block_program`), the metric finisher
+    # (`_make_block_finisher`), and cadence hooks.
+    def _train_metrics_every(self):
+        raise NotImplementedError
+
+    def _block_use_feg(self, use_val):
+        """Whether the block programs compute the free-energy gap (RBM
+        overrides; the DBM has no FEG metric)."""
+        return False
+
+    def _any_train_metric(self):
+        """Whether any train scalar metric is enabled (summaries key off a
+        metric having been logged)."""
+        return True
+
+    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp, kind='xla'):
+        """Block-dispatch fit loop.  `kind` selects the in-block epoch
+        engine: 'xla' (single-device lax scan), 'pallas' (fused epoch
+        kernel), or 'shardmap' (mesh epoch with psum'd statistics).
+        Pallas/shard_map blocks are additionally split at gibbs-k schedule
+        changes -- those programs are compiled per k."""
+        from ..utils.utils import schedule_value, _HAVE_TQDM
+        n_full = int(full.shape[0])
+        per_epoch_iters = n_full + (1 if rem is not None else 0)
+        use_val = staged_val is not None and (
+            staged_val[0].shape[0] or staged_val[1] is not None)
+        use_feg = self._block_use_feg(use_val)
+        val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
+            else (None, None)
+        bar = None
+        if self.verbose and _HAVE_TQDM:
+            from tqdm import tqdm
+            bar = tqdm(total=self.max_epoch, initial=self.epoch_,
+                       leave=True, ncols=84, desc='training')
+        try:
+            for (e0, e1) in self._block_spans(self.epoch_):
+                runs = [(e0, e1)] if kind == 'xla' \
+                    else self._constant_k_runs(e0, e1)
+                for (r0, r1) in runs:
+                    epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
+                    lrs = np.asarray([schedule_value(self.learning_rate, t)
+                                      for t in epochs], self._np_dtype)
+                    moms = np.asarray([schedule_value(self.momentum, t)
+                                       for t in epochs], self._np_dtype)
+                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
+                                     for t in epochs], np.int32)
+                    run_prog = self._block_program(kind, int(ks[0]), n_full,
+                                                   use_val, use_feg)
+                    if run_prog is None:  # fused kernel declined (VMEM)
+                        if bar is not None:
+                            bar.close()
+                            bar = None
+                        return self._fit_epoch_blocks(full, rem, staged_val,
+                                                      aw, mp)
+                    sched = self._epoch_seeds(self._fit_key, epochs) \
+                        if kind == 'pallas' else ks
+                    iter0 = self.iter_
+                    self._state, stacked = run_prog(
+                        self._state, full, rem, val_full, val_rem, lrs,
+                        moms, sched, self._fit_key, iter0, epochs)
+                    self.iter_ += len(epochs) * per_epoch_iters
+                    self.epoch_ = int(r1)
+                    arrays, consume = self._make_block_finisher(
+                        stacked, epochs, iter0, per_epoch_iters, n_full,
+                        rem is not None, use_val, use_feg)
+                    mp.submit(arrays, consume)
+                    if bar is not None:
+                        bar.update(len(epochs))
+                self._block_boundary_host_work(full, rem, aw,
+                                               per_epoch_iters)
+        finally:
+            if bar is not None:
+                bar.close()
+
+    def _block_boundary_host_work(self, full, rem, aw, per_epoch_iters):
+        """Summaries / checkpoint submission at a block boundary --
+        identical cadence logic to the per-epoch loops (the boundary epoch
+        IS a cadence epoch by construction of `_block_spans`)."""
+        every = self._train_metrics_every()
+        last_lo = self.iter_ - per_epoch_iters
+        logged = bool((((np.arange(last_lo + 1, self.iter_ + 1)) % every)
+                       == 0).any()) and self._any_train_metric()
+        want_summaries = logged and \
+            self.epoch_ % self.summaries_every_epoch == 0
+        want_ckpt = self.save_after_each_epoch and \
+            self.epoch_ % self.checkpoint_every_epoch == 0
+        if want_summaries or want_ckpt:
+            self._submit_epoch_host_work(aw, want_summaries, want_ckpt)
+
     def _block_spans(self, start, cap=64):
         """Split (start, max_epoch] into dispatch blocks that end at every
         host-event epoch (checkpoint / summaries cadence) and never exceed
@@ -497,7 +601,7 @@ class JAXModel(BaseModel, DtypeMixin):
         return spans
 
     def _submit_epoch_host_work(self, writer, want_summaries, want_ckpt,
-                                extra_work=None, force_ckpt=False):
+                                extra_work=None):
         """End-of-epoch host pipeline: snapshot the state pytree on device
         (HBM-to-HBM copy -- immune to the next epoch's buffer donation),
         reduce it to summary stats on device, capture the JSON metadata
@@ -510,8 +614,9 @@ class JAXModel(BaseModel, DtypeMixin):
         previous checkpoint's full-state fetch is still in flight, this
         epoch's checkpoint is SKIPPED (no snapshot is even built) so a
         slow device->host link degrades checkpoint cadence instead of
-        training throughput.  ``force_ckpt`` (the final epoch) bypasses
-        the admission control -- the end-of-fit checkpoint always lands.
+        training throughput.  The end-of-fit checkpoint never goes
+        through this path -- ``fit`` writes it synchronously after the
+        async lanes join, so it always lands.
 
         `extra_work` (a callable) runs FIRST on the worker -- the fit
         loops use it to move per-epoch host work off the training
@@ -520,7 +625,7 @@ class JAXModel(BaseModel, DtypeMixin):
         import jax
         import jax.numpy as jnp
         step = self.iter_
-        if want_ckpt and not force_ckpt and writer.heavy_busy():
+        if want_ckpt and writer.heavy_busy():
             want_ckpt = False
             writer.n_dropped += 1
         payload = self._checkpoint_payload() if want_ckpt else None
@@ -555,7 +660,7 @@ class JAXModel(BaseModel, DtypeMixin):
                 self._write_checkpoint(params, rng_state,
                                        self._get_state_arrays(host_state))
 
-        writer.submit(work, heavy=want_ckpt, force=force_ckpt)
+        writer.submit(work, heavy=want_ckpt)
 
     @classmethod
     def load_model(cls, model_path):

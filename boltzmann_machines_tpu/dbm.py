@@ -895,95 +895,27 @@ class DBM(EnergyBasedModel):
 
         return jax.jit(block_fn, donate_argnums=(0,))
 
-    def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp, kind='xla'):
-        """Block-dispatch fit loop: one device program + one queued metric
-        readback per block of up to 64 epochs, with summaries/checkpoints
-        at block boundaries (identical cadences to the per-epoch loop).
-        `kind` selects the in-block epoch engine: 'xla', 'pallas' (fused
-        DBM-epoch kernel), or 'shardmap' (mesh epoch with psum'd stats);
-        the latter two split blocks at gibbs-k changes (per-k programs)."""
-        from .utils.utils import _HAVE_TQDM
-        n_full = int(full.shape[0])
-        per_epoch_iters = n_full + (1 if rem is not None else 0)
-        use_val = staged_val is not None and (
-            staged_val[0].shape[0] or staged_val[1] is not None)
-        val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
-            else (None, None)
-        prog = None
+    def _train_metrics_every(self):
+        return int(self.train_metrics_every_iter)
+
+    def _block_program(self, kind, kk, n_full, use_val, use_feg):
+        """Cached in-block epoch program for `JAXModel._fit_epoch_blocks`
+        (the DBM has no FEG metric; `use_feg` is always False here); None
+        when the fused DBM kernel declines the shape (VMEM budget)."""
         if kind == 'xla':
-            prog = self._program(('train_block', use_val),
+            return self._program(('train_block', use_val),
                                  lambda: self._train_block_program(use_val))
-        bar = None
-        if self.verbose and _HAVE_TQDM:
-            from tqdm import tqdm
-            bar = tqdm(total=self.max_epoch, initial=self.epoch_,
-                       leave=True, ncols=84, desc='training')
-        try:
-            for (e0, e1) in self._block_spans(self.epoch_):
-                runs = [(e0, e1)] if kind == 'xla' \
-                    else self._constant_k_runs(e0, e1)
-                for (r0, r1) in runs:
-                    epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
-                    lrs = np.asarray([schedule_value(self.learning_rate, t)
-                                      for t in epochs], self._np_dtype)
-                    moms = np.asarray([schedule_value(self.momentum, t)
-                                       for t in epochs], self._np_dtype)
-                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
-                                     for t in epochs], np.int32)
-                    if kind == 'pallas':
-                        kk = int(ks[0])
-                        run_prog = self._program(
-                            ('pallas_block', kk, n_full, use_val),
-                            lambda kk=kk: self._pallas_block_program(
-                                kk, n_full, use_val))
-                        if run_prog is None:  # kernel declined (VMEM)
-                            if bar is not None:
-                                bar.close()
-                                bar = None
-                            return self._fit_epoch_blocks(
-                                full, rem, staged_val, aw, mp)
-                        sched = self._epoch_seeds(self._fit_key, epochs)
-                    elif kind == 'shardmap':
-                        kk = int(ks[0])
-                        run_prog = self._program(
-                            ('shardmap_block', kk, use_val),
-                            lambda kk=kk: self._shardmap_block_program(
-                                kk, use_val))
-                        sched = ks
-                    else:
-                        run_prog = prog
-                        sched = ks
-                    iter0 = self.iter_
-                    self._state, stacked = run_prog(
-                        self._state, full, rem, val_full, val_rem, lrs,
-                        moms, sched, self._fit_key, iter0, epochs)
-                    self.iter_ += len(epochs) * per_epoch_iters
-                    self.epoch_ = int(r1)
-                    arrays, consume = self._make_block_finisher(
-                        stacked, epochs, iter0, per_epoch_iters, n_full,
-                        rem is not None, use_val)
-                    mp.submit(arrays, consume)
-                    if bar is not None:
-                        bar.update(len(epochs))
-                # summaries/checkpoint at the block boundary -- the
-                # boundary epoch IS a cadence epoch by _block_spans
-                every = int(self.train_metrics_every_iter)
-                last_lo = self.iter_ - per_epoch_iters
-                logged = bool(((np.arange(last_lo + 1, self.iter_ + 1)
-                                % every) == 0).any())
-                want_summaries = logged and \
-                    self.epoch_ % self.summaries_every_epoch == 0
-                want_ckpt = self.save_after_each_epoch and \
-                    self.epoch_ % self.checkpoint_every_epoch == 0
-                if want_summaries or want_ckpt:
-                    self._submit_epoch_host_work(aw, want_summaries,
-                                                 want_ckpt)
-        finally:
-            if bar is not None:
-                bar.close()
+        if kind == 'pallas':
+            return self._program(('pallas_block', kk, n_full, use_val),
+                                 lambda: self._pallas_block_program(
+                                     kk, n_full, use_val))
+        return self._program(('shardmap_block', kk, use_val),
+                             lambda: self._shardmap_block_program(kk,
+                                                                  use_val))
+
 
     def _make_block_finisher(self, stacked, epochs, iter0, per_epoch_iters,
-                             n_full, has_rem, use_val):
+                             n_full, has_rem, use_val, use_feg=False):
         """(arrays, consume) for a WHOLE BLOCK: one queued fetch of the
         stacked per-epoch metric arrays; `consume` replays the per-epoch
         scalar writes and verbose lines in epoch order."""
@@ -1538,10 +1470,6 @@ class DBM(EnergyBasedModel):
         n_mfs = np.concatenate([np.atleast_1d(np.asarray(f))
                                 for f in fetched[1::2]])
         return float(np.mean(msres)), float(np.mean(n_mfs))
-
-    def _run_val_metrics(self, staged_val):
-        return self._reduce_val_metrics(
-            fetch_many(*self._dispatch_val_metrics(staged_val)))
 
     # ================================================================== #
     # public API                                                          #

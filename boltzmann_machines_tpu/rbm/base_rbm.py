@@ -965,16 +965,6 @@ class BaseRBM(EnergyBasedModel):
             results['l2_loss'] = float(cols[2][mask].mean())
         return results
 
-    def _finish_train_metrics(self, pending):
-        """Fetch + reduce a `_train_epoch`/`_train_epoch_pallas` pending
-        record into the train-results dict."""
-        if pending is None or not len(pending['mask']) \
-                or not pending['mask'].any():
-            return {}
-        return self._reduce_train_metrics(fetch_many(*pending['parts']),
-                                          pending['mask'],
-                                          pending['n_full'])
-
     def _dispatch_val_metrics(self, staged_val):
         """Dispatch (without fetching) the validation metric programs."""
         prog = self._program('val', self._val_metrics_program)
@@ -1001,19 +991,6 @@ class BaseRBM(EnergyBasedModel):
         if self.metrics_config['pll']:
             results['pll'] = float(np.mean(plls))
         return results
-
-    def _finish_val_metrics(self, pending):
-        if not pending:  # degenerate staged val set (no rows at all)
-            return {}
-        return self._reduce_val_metrics(fetch_many(*pending))
-
-    def _run_val_metrics(self, staged_val):
-        return self._finish_val_metrics(
-            self._dispatch_val_metrics(staged_val))
-
-    def _run_feg(self, staged_train, staged_val):
-        return self._finish_feg(self._dispatch_feg(staged_train,
-                                                   staged_val))
 
     def _dispatch_feg(self, staged_train, staged_val):
         """Free-energy gap between a fixed number of train and validation
@@ -1048,11 +1025,6 @@ class BaseRBM(EnergyBasedModel):
         train_fe = np.mean(np.concatenate(
             [np.asarray(f).ravel() for f in fetched[nv:]]))
         return val_fe - train_fe
-
-    @staticmethod
-    def _finish_feg(pending):
-        parts, nv = pending
-        return BaseRBM._reduce_feg(fetch_many(*parts), nv)
 
     # ------------------- epoch-block training programs ----------------- #
     #
@@ -1310,97 +1282,45 @@ class BaseRBM(EnergyBasedModel):
 
         return jax.jit(block_fn, donate_argnums=(0,))
 
-    def _fit_epoch_blocks(self, full, rem, staged_train, staged_val, aw, mp,
-                          kind='xla'):
-        """Block-dispatch fit loop: one device program + one queued metric
-        readback per block of up to 64 epochs (vs several link round trips
-        per epoch), with summaries/checkpoints at block boundaries.
-        `kind` selects the in-block epoch engine: 'xla' (single-device lax
-        scan), 'pallas' (fused CD-epoch kernel), or 'shardmap' (mesh
-        shard_map epoch with psum'd statistics).  Pallas/shard_map blocks
-        are additionally split at gibbs-k schedule changes -- those
-        programs are compiled per k."""
-        from ..utils.utils import _HAVE_TQDM
-        n_full = int(full.shape[0])
-        per_epoch_iters = n_full + (1 if rem is not None else 0)
-        use_val = staged_val is not None and (
-            staged_val[0].shape[0] or staged_val[1] is not None)
-        use_feg = use_val and bool(self.metrics_config['feg'])
-        val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
-            else (None, None)
-        prog = None
-        if kind == 'xla':
-            prog = self._program(('train_block', use_val, use_feg),
-                                 lambda: self._train_block_program(use_val,
-                                                                   use_feg))
-        bar = None
-        if self.verbose and _HAVE_TQDM:
-            from tqdm import tqdm
-            bar = tqdm(total=self.max_epoch, initial=self.epoch_,
-                       leave=True, ncols=84, desc='training')
-        try:
-            for (e0, e1) in self._block_spans(self.epoch_):
-                runs = [(e0, e1)] if kind == 'xla' \
-                    else self._constant_k_runs(e0, e1)
-                for (r0, r1) in runs:
-                    epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
-                    lrs = np.asarray([schedule_value(self.learning_rate, t)
-                                      for t in epochs], self._np_dtype)
-                    moms = np.asarray([schedule_value(self.momentum, t)
-                                       for t in epochs], self._np_dtype)
-                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
-                                     for t in epochs], np.int32)
-                    if kind == 'pallas':
-                        kk = int(ks[0])
-                        run_prog = self._program(
-                            ('pallas_block', kk, n_full, use_val, use_feg),
-                            lambda kk=kk: self._pallas_block_program(
-                                kk, n_full, use_val, use_feg))
-                        if run_prog is None:  # kernel declined (VMEM)
-                            if bar is not None:
-                                bar.close()
-                                bar = None
-                            return self._fit_epoch_blocks(
-                                full, rem, staged_train, staged_val, aw, mp)
-                        sched = self._epoch_seeds(self._fit_key, epochs)
-                    elif kind == 'shardmap':
-                        kk = int(ks[0])
-                        run_prog = self._program(
-                            ('shardmap_block', kk, use_val, use_feg),
-                            lambda kk=kk: self._shardmap_block_program(
-                                kk, use_val, use_feg))
-                        sched = ks
-                    else:
-                        run_prog = prog
-                        sched = ks
-                    iter0 = self.iter_
-                    self._state, stacked = run_prog(
-                        self._state, full, rem, val_full, val_rem, lrs,
-                        moms, sched, self._fit_key, iter0, epochs)
-                    self.iter_ += len(epochs) * per_epoch_iters
-                    self.epoch_ = int(r1)
-                    arrays, consume = self._make_block_finisher(
-                        stacked, epochs, iter0, per_epoch_iters, n_full,
-                        rem is not None, use_val, use_feg)
-                    mp.submit(arrays, consume)
-                    if bar is not None:
-                        bar.update(len(epochs))
-                self._epoch_boundary_host_work(full, rem, aw, iter0,
-                                               per_epoch_iters)
-        finally:
-            if bar is not None:
-                bar.close()
+    def _train_metrics_every(self):
+        return int(self.metrics_config['train_metrics_every_iter'])
 
-    def _epoch_boundary_host_work(self, full, rem, aw, iter0,
-                                  per_epoch_iters):
+    def _block_use_feg(self, use_val):
+        return use_val and bool(self.metrics_config['feg'])
+
+    def _block_program(self, kind, kk, n_full, use_val, use_feg):
+        """Cached in-block epoch program for `JAXModel._fit_epoch_blocks`;
+        None when the fused kernel declines the shape (VMEM budget)."""
+        if kind == 'xla':
+            return self._program(('train_block', use_val, use_feg),
+                                 lambda: self._train_block_program(
+                                     use_val, use_feg))
+        if kind == 'pallas':
+            return self._program(
+                ('pallas_block', kk, n_full, use_val, use_feg),
+                lambda: self._pallas_block_program(kk, n_full, use_val,
+                                                   use_feg))
+        return self._program(('shardmap_block', kk, use_val, use_feg),
+                             lambda: self._shardmap_block_program(
+                                 kk, use_val, use_feg))
+
+    def _any_train_metric(self):
+        """True when at least one train scalar metric is enabled -- the
+        summaries cadence keys off a metric having been logged (matching
+        the reference, where summaries ride the merged train-metric op)."""
+        m = self.metrics_config
+        return bool(m['msre'] or m['pll'] or m['l2_loss'])
+
+    def _block_boundary_host_work(self, full, rem, aw, per_epoch_iters):
         """Summaries / checkpoint submission at a block boundary --
         identical cadence logic to the per-epoch loop (the boundary epoch
-        IS a cadence epoch by construction of `_block_spans`)."""
-        every = int(self.metrics_config['train_metrics_every_iter'])
+        IS a cadence epoch by construction of `_block_spans`); extends the
+        base implementation with the hidden-activation image probe."""
+        every = self._train_metrics_every()
         # iterations of the LAST epoch in the block
         last_lo = self.iter_ - per_epoch_iters
         logged = bool((((np.arange(last_lo + 1, self.iter_ + 1)) % every)
-                       == 0).any())
+                       == 0).any()) and self._any_train_metric()
         want_summaries = logged and \
             self.epoch_ % self.summaries_every_epoch == 0
         want_ckpt = self.save_after_each_epoch and \
@@ -1594,13 +1514,12 @@ class BaseRBM(EnergyBasedModel):
         # loop everywhere (used by the equivalence tests).
         if os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
             if use_shardmap:
-                return self._fit_epoch_blocks(full, rem, staged_train,
-                                              staged_val, aw, mp,
-                                              kind='shardmap')
+                return self._fit_epoch_blocks(full, rem, staged_val, aw,
+                                              mp, kind='shardmap')
             if self._mesh is None:
                 kind = 'pallas' if use_pallas else 'xla'
-                return self._fit_epoch_blocks(full, rem, staged_train,
-                                              staged_val, aw, mp, kind=kind)
+                return self._fit_epoch_blocks(full, rem, staged_val, aw,
+                                              mp, kind=kind)
         for self.epoch_ in epoch_iter(start_epoch=self.epoch_,
                                       max_epoch=self.max_epoch,
                                       verbose=self.verbose):
@@ -1632,7 +1551,8 @@ class BaseRBM(EnergyBasedModel):
 
             # whether this epoch logged train metrics is pure host
             # arithmetic on iteration numbers -- no device readback needed
-            logged = bool(pend_train['mask'].any())
+            logged = bool(pend_train['mask'].any()) and \
+                self._any_train_metric()
             want_summaries = logged and \
                 self.epoch_ % self.summaries_every_epoch == 0
             want_ckpt = self.save_after_each_epoch and \

@@ -443,11 +443,16 @@ def main():
         X_train, y_train = make_augmentation(X_train, y_train, len(X_train),
                                              args)
 
-    # center using the (augmented) training mean; X_train is not used
-    # uncentered again, so center in place (skips a 6 GB copy)
+    # center using the (augmented) training mean.  The augmented X_train
+    # is a fresh array, so center it in place (skips a 6 GB copy); the
+    # --no-aug X_train is a VIEW of the loaded buffer that may overlap
+    # X_val (both slice the same array), so that path must copy.
     X_mean = X_train.mean(axis=0)
-    X_train -= X_mean
-    X_train_c = X_train
+    if args.no_aug:
+        X_train_c = X_train - X_mean
+    else:
+        X_train -= X_mean
+        X_train_c = X_train
     X_val_c = X_val - X_mean
     X_test_c = X_test - X_mean
 
