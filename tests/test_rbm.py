@@ -152,6 +152,30 @@ def test_epoch_block_path_matches_per_epoch_path(X, X_val, tmp_model_dir,
                                    [v for _, _, v in sp], rtol=1e-6)
 
 
+def test_block_then_per_epoch_resume_matches(X, X_val, tmp_model_dir,
+                                             monkeypatch):
+    """Training some epochs on the block path, then RESUMING on the
+    per-epoch path (through a disk checkpoint), must land exactly where
+    the same two fit calls on the per-epoch path land -- the paths are
+    interchangeable at any fit boundary.  (Two fit calls are NOT compared
+    to one longer fit: each `fit` draws a fresh fit key from the host
+    RNG, the reference's per-call op-seed semantics.)"""
+    cfg = dict(RBM_CONFIG, max_epoch=3)
+
+    ra = BernoulliRBM(model_path=tmp_model_dir + 'a/', **cfg)
+    ra.fit(X, X_val)                       # blocks (default)
+    ra = BernoulliRBM.load_model(tmp_model_dir + 'a/')
+    monkeypatch.setenv('BMT_EPOCH_BLOCKS', '0')
+    ra.set_params(max_epoch=5).fit(X, X_val)   # per-epoch resume
+
+    rb = BernoulliRBM(model_path=tmp_model_dir + 'b/', **cfg)
+    rb.fit(X, X_val)                       # per-epoch from the start
+    rb.set_params(max_epoch=5).fit(X, X_val)
+
+    assert_weights_equal(ra, rb)
+    assert ra.iter_ == rb.iter_ and ra.epoch_ == rb.epoch_
+
+
 def test_learning_decreases_msre(tmp_model_dir):
     """CD-1 on separable binary data must reduce reconstruction error."""
     rng = RNG(seed=7)
