@@ -587,11 +587,15 @@ class JAXModel(BaseModel, DtypeMixin):
         backends."""
         spans = []
         e = start
+        # the summaries cadence only matters when summaries can actually
+        # fire (they key off an enabled train metric having been logged)
+        summaries_cadence = self.summaries_every_epoch \
+            if self._any_train_metric() else 0
         while e < self.max_epoch:
             end = min(e + cap, self.max_epoch)
             for cadence in (self.checkpoint_every_epoch
                             if self.save_after_each_epoch else 0,
-                            self.summaries_every_epoch):
+                            summaries_cadence):
                 if cadence:
                     nxt = ((e // cadence) + 1) * cadence
                     if e < nxt < end:
