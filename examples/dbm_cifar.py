@@ -116,7 +116,15 @@ def downsampled(X_im):
 def make_small_rbms(X_train, X_val, args):
     """Train 26 small 192->300 Gaussian RBMs on 8x8 patches
     (dbm_cifar.py:108-219)."""
-    X_im = im_unflatten(X_train)
+    _memo = {}
+
+    def X_im():
+        # lazy: the NHWC copy of the full training set is ~6 GB; skip it
+        # entirely when every small-RBM stage is cached
+        if 'x' not in _memo:
+            _memo['x'] = im_unflatten(X_train)
+        return _memo['x']
+
     Xv_im = im_unflatten(X_val)
 
     config = dict(n_visible=8 * 8 * 3, n_hidden=N_SMALL_HIDDEN, sigma=1.,
@@ -141,7 +149,10 @@ def make_small_rbms(X_train, X_val, args):
 
     small_rbms = []
 
-    def train_one(rbm_id, Xp, Xpv, seed):
+    def train_one(rbm_id, patches, seed):
+        """`patches`: () -> (Xp, Xpv), evaluated only when the stage is
+        not cached -- each patch extraction is a ~380 MB host copy, which
+        is minutes of first-touch on sandboxed VMs (docs/tpu.md)."""
         dirpath = args.small_dirpath_prefix + str(rbm_id) + '/'
         if stage_cached(dirpath):
             print('\nLoading small RBM #{0} ...\n'.format(rbm_id))
@@ -150,6 +161,7 @@ def make_small_rbms(X_train, X_val, args):
         rbm = GaussianRBM(random_seed=seed, checkpoint_every_epoch=args.checkpoint_every,
                           summaries_every_epoch=args.summaries_every,
                           model_path=dirpath, **config)
+        Xp, Xpv = patches()
         rbm.fit(Xp, Xpv)
         return rbm
 
@@ -158,7 +170,9 @@ def make_small_rbms(X_train, X_val, args):
         for j in range(4):
             rbm_id = 4 * i + j
             small_rbms.append(train_one(
-                rbm_id, small_patches(X_im, i, j), small_patches(Xv_im, i, j),
+                rbm_id,
+                lambda i=i, j=j: (small_patches(X_im(), i, j),
+                                  small_patches(Xv_im, i, j)),
                 9000 + rbm_id))
 
     # 9 on the half-offset 3x3 grid
@@ -166,13 +180,14 @@ def make_small_rbms(X_train, X_val, args):
         for j in range(3):
             rbm_id = 16 + 3 * i + j
             small_rbms.append(train_one(
-                rbm_id, small_patches(X_im, i, j, offset=4),
-                small_patches(Xv_im, i, j, offset=4),
+                rbm_id,
+                lambda i=i, j=j: (small_patches(X_im(), i, j, offset=4),
+                                  small_patches(Xv_im, i, j, offset=4)),
                 args.small_random_seed + rbm_id))
 
     # 1 on the 4x4-downsampled image
-    small_rbms.append(train_one(25, downsampled(X_im), downsampled(Xv_im),
-                                9000 + 25))
+    small_rbms.append(train_one(
+        25, lambda: (downsampled(X_im()), downsampled(Xv_im)), 9000 + 25))
     return small_rbms
 
 
