@@ -174,6 +174,28 @@ def test_epoch_block_path_matches_per_epoch_path(data, tmp_path,
                                    [v for _, _, v in scal_p], rtol=1e-6)
 
 
+def test_float16_input_staging_is_exact(data, tmp_path):
+    """float16 inputs to a float32 DBM are widened on device during
+    staging; f16 -> f32 is exact, so training/transform must be bitwise-
+    identical to casting on the host first (RBM twin in test_rbm.py)."""
+    tmp = str(tmp_path) + '/'
+    X16 = data.astype('float16')
+
+    def build(prefix, X):
+        r1, r2 = pretrain_rbms(data, tmp + prefix)
+        dbm = make_dbm((r1, r2), tmp + prefix, max_epoch=2)
+        dbm.fit(X)
+        return dbm
+
+    da = build('a_', X16)
+    db = build('b_', X16.astype('float32'))
+    sa, sb = da._get_state_arrays(), db._get_state_arrays()
+    for k in sa:
+        np.testing.assert_array_equal(sa[k], sb[k], err_msg=k)
+    np.testing.assert_array_equal(da.transform(X16),
+                                  db.transform(X16.astype('float32')))
+
+
 def test_save_load_resume(trained, data):
     dbm, tmp = trained
     # re-save: earlier tests may have advanced the persistent chains
