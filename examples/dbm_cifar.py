@@ -50,12 +50,19 @@ def load_data(args):
         print('CIFAR-10 files not found; using %d synthetic stand-in rows'
               % n)
         rng = RNG(42)
-        X = rng.rand(n, 3072) * 255.
+        # chunked f32 generation: one multi-GB buffer, no f64 intermediates
+        # (multi-GB first-touch is minutes on sandboxed VMs, docs/tpu.md)
+        X = np.empty((n, 3072), np.float32)
+        for lo in range(0, n, 4096):
+            hi = min(lo + 4096, n)
+            X[lo:hi] = (rng.rand(hi - lo, 3072) * 255.).astype(np.float32)
         y = rng.randint(0, 10, n)
         X_test = rng.rand(1024, 3072) * 255.
         y_test = rng.randint(0, 10, 1024)
-    X = X.astype(np.float32) / 255.
-    X_test = X_test.astype(np.float32) / 255.
+    X = np.asarray(X, np.float32)  # no copy when already f32 (stand-in)
+    X /= 255.
+    X_test = np.asarray(X_test, np.float32)
+    X_test /= 255.
     RNG(seed=42).shuffle(X)
     RNG(seed=42).shuffle(y)
     n_train = min(len(X), args.n_train)
