@@ -426,3 +426,49 @@ def test_pallas_epoch_block_matches_per_epoch_dbm(tmp_path, monkeypatch):
         np.testing.assert_array_equal(sa[k], sb[k], err_msg=k)
     np.testing.assert_allclose(da.transform(X), db.transform(X))
     _assert_scalar_streams_match(pa + 'dbm/', pb + 'dbm/')
+
+
+def test_cd_epoch_kernel_interpret_matches_xla_cpu(tmp_path):
+    """Interpret-mode execution of the fused CD-epoch kernel on CPU: the
+    kernel LOGIC (grid state threading, update math, metric rows) golden-
+    matches the XLA epoch with sampling disabled -- CPU CI coverage for
+    the kernel body, complementing the TPU-gated compiled goldens."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
+
+    V, H, B, NB = 24, 16, 8, 4
+    rbm = BernoulliRBM(n_visible=V, n_hidden=H, batch_size=B,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       sample_h_states=False, sample_v_states=False,
+                       l2=1e-5, sparsity_cost=1e-5,
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=2),
+                       model_path=str(tmp_path) + '/')
+    rbm._ensure_state()
+    X = (np.random.RandomState(0).rand(NB * B, V) < 0.3).astype(np.float32)
+    full, rem, _ = rbm._stage_batches(X)
+    assert rem is None
+
+    s_xla_in = jtu.tree_map(jnp.copy, rbm._state)
+    s_pal_in = jtu.tree_map(jnp.copy, rbm._state)
+
+    ep_xla = rbm._program('train_epoch', rbm._train_epoch_program)
+    s_xla, _, stacked = ep_xla(s_xla_in, full, 0.05, 0.9, 1,
+                               jax.random.PRNGKey(0), 0)
+
+    ep_pal = make_cd_epoch_kernel(
+        V, H, B, k=1, sample_v_states=False, sample_h_states=False,
+        propup_mult=1., propdown_mult=1., l2=1e-5, sparsity_target=0.1,
+        sparsity_cost=1e-5, sparsity_damping=0.9, metrics_every=2,
+        compute_pll=False, interpret=True)
+    s_pal, msre, _, l2row = ep_pal(s_pal_in, full, 0.05, 0.9, 7, 0)
+
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(s_xla[k]),
+                                   np.asarray(s_pal[k]), atol=2e-5)
+    mask = np.asarray(stacked[3]).astype(bool)
+    np.testing.assert_allclose(np.asarray(stacked[0])[mask],
+                               np.asarray(msre)[mask], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stacked[2])[mask],
+                               np.asarray(l2row)[mask], rtol=1e-4)
