@@ -292,7 +292,7 @@ def _dbm_epoch_kernel(scalars_ref, sched_ref, x_ref, *refs,
 def make_dbm_epoch_kernel(layer_sizes, batch_size, n_particles, k,
                           max_mf_updates, mf_tol, sample_v, sample_h,
                           l2, max_norm, sparsity_target, sparsity_cost,
-                          sparsity_damping):
+                          sparsity_damping, interpret=False):
     """Fused all-Bernoulli DBM training epoch: grid over minibatches, all
     weights / accumulators / EMA means / persistent particles VMEM-resident
     for the entire epoch.
@@ -387,6 +387,7 @@ def make_dbm_epoch_kernel(layer_sizes, batch_size, n_particles, k,
                 dimension_semantics=('arbitrary',),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
+            interpret=(pltpu.InterpretParams() if interpret else False),
         )(scalars, sched, X_batches, *flatten_state(state))
 
         new_state = unflatten_state(outs[:n_state])

@@ -472,3 +472,60 @@ def test_cd_epoch_kernel_interpret_matches_xla_cpu(tmp_path):
                                np.asarray(msre)[mask], atol=1e-5)
     np.testing.assert_allclose(np.asarray(stacked[2])[mask],
                                np.asarray(l2row)[mask], rtol=1e-4)
+
+
+def test_dbm_epoch_kernel_interpret_matches_xla_cpu(tmp_path):
+    """Interpret-mode execution of the fused DBM PCD/MF epoch kernel on
+    CPU: with sampling disabled the kernel golden-matches the XLA epoch
+    program (state incl. persistent particles, msre and n_mf rows) -- the
+    first in-repo golden for the DBM kernel body (previously verified
+    only by scripted TPU runs)."""
+    from boltzmann_machines_tpu import BernoulliRBM, DBM
+    from boltzmann_machines_tpu.ops.pallas_dbm import make_dbm_epoch_kernel
+
+    rng = np.random.RandomState(0)
+    X = (rng.rand(32, 12) < 0.4).astype(np.float32)
+    r1 = BernoulliRBM(n_visible=12, n_hidden=8, dbm_first=True, max_epoch=1,
+                      batch_size=8, random_seed=1, verbose=False,
+                      model_path=str(tmp_path) + 'r1/')
+    r1.fit(X)
+    r2 = BernoulliRBM(n_visible=8, n_hidden=6, dbm_last=True, max_epoch=1,
+                      batch_size=8, random_seed=2, verbose=False,
+                      model_path=str(tmp_path) + 'r2/')
+    r2.fit(r1.transform(X))
+    dbm = DBM(rbms=[r1, r2], n_particles=8, n_gibbs_steps=2,
+              max_mf_updates=10, mf_tol=1e-7, learning_rate=0.01,
+              momentum=0.5, max_epoch=1, batch_size=8, max_norm=4.,
+              sample_v_states=False, sample_h_states=[False, False],
+              random_seed=3, verbose=False, save_after_each_epoch=False,
+              model_path=str(tmp_path) + 'dbm/')
+    dbm._ensure_state()
+    full, rem, _ = dbm._stage_batches(X)
+    assert rem is None
+
+    s_xla_in = jtu.tree_map(jnp.copy, dbm._state)
+    s_pal_in = jtu.tree_map(jnp.copy, dbm._state)
+
+    ep_xla = dbm._program('train_epoch', dbm._train_epoch_program)
+    s_xla, _, (msre_x, nmf_x) = ep_xla(s_xla_in, full, 0.01, 0.5, 2,
+                                       jax.random.PRNGKey(0), 0)
+
+    ep_pal = make_dbm_epoch_kernel(
+        [12, 8, 6], batch_size=8, n_particles=8, k=2, max_mf_updates=10,
+        mf_tol=1e-7, sample_v=False, sample_h=[False, False], l2=0.,
+        max_norm=4., sparsity_target=dbm.sparsity_target,
+        sparsity_cost=dbm.sparsity_cost,
+        sparsity_damping=dbm.sparsity_damping, interpret=True)
+    s_pal, msre_p, nmf_p = ep_pal(s_pal_in, full, 0.01, 0.5, 7)
+
+    flat_x = jtu.tree_leaves_with_path(s_xla)
+    flat_p = dict((jtu.keystr(k), v)
+                  for k, v in jtu.tree_leaves_with_path(s_pal))
+    for k, v in flat_x:
+        np.testing.assert_allclose(np.asarray(v),
+                                   np.asarray(flat_p[jtu.keystr(k)]),
+                                   atol=2e-5, err_msg=jtu.keystr(k))
+    np.testing.assert_allclose(np.asarray(msre_x), np.asarray(msre_p),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nmf_x),
+                                  np.asarray(nmf_p).astype(np.int32))
