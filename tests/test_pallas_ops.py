@@ -529,3 +529,55 @@ def test_dbm_epoch_kernel_interpret_matches_xla_cpu(tmp_path):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(nmf_x),
                                   np.asarray(nmf_p).astype(np.int32))
+
+
+@pytest.mark.parametrize('flavor', ['gaussian', 'multinomial'])
+def test_kernel_variants_interpret_match_xla_cpu(flavor, tmp_path):
+    """Interpret-mode CPU goldens for the Gaussian-visible and
+    Multinomial-hidden CD epoch kernel variants (compiled twins are
+    TPU-gated above)."""
+    from boltzmann_machines_tpu import GaussianRBM, MultinomialRBM
+    from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
+
+    if flavor == 'gaussian':
+        model = GaussianRBM(n_visible=24, n_hidden=16, sigma=1.,
+                            batch_size=8, random_seed=1,
+                            sample_v_states=False, sample_h_states=False,
+                            l2=1e-3, sparsity_cost=1e-3, verbose=False,
+                            save_after_each_epoch=False,
+                            metrics_config=dict(msre=True,
+                                                train_metrics_every_iter=2),
+                            model_path=str(tmp_path) + '/')
+        X = np.random.RandomState(0).randn(8 * 4, 24).astype(np.float32)
+        kw = dict(visible='gaussian', sigma=1., hidden='bernoulli',
+                  n_samples=None)
+    else:
+        model = MultinomialRBM(n_visible=24, n_hidden=16, n_samples=12,
+                               batch_size=8, random_seed=1,
+                               sample_v_states=False, sample_h_states=False,
+                               l2=1e-4, sparsity_cost=1e-4, verbose=False,
+                               save_after_each_epoch=False,
+                               metrics_config=dict(msre=True,
+                                                   train_metrics_every_iter=2),
+                               model_path=str(tmp_path) + '/')
+        X = (np.random.RandomState(0).rand(8 * 4, 24) < 0.3).astype(
+            np.float32)
+        kw = dict(visible='bernoulli', sigma=None, hidden='multinomial',
+                  n_samples=12)
+    model._ensure_state()
+    full, rem, nb = model._stage_batches(X)
+    s0 = jtu.tree_map(jnp.copy, model._state)
+    s1 = jtu.tree_map(jnp.copy, model._state)
+    ep_xla = model._program('train_epoch', model._train_epoch_program)
+    sx, _, _ = ep_xla(s0, full, 1e-3, 0.9, 1, jax.random.PRNGKey(0), 0)
+    ep_pal = make_cd_epoch_kernel(
+        24, 16, 8, k=1, sample_v_states=False, sample_h_states=False,
+        propup_mult=1., propdown_mult=1.,
+        l2=(1e-3 if flavor == 'gaussian' else 1e-4), sparsity_target=0.1,
+        sparsity_cost=(1e-3 if flavor == 'gaussian' else 1e-4),
+        sparsity_damping=0.9, metrics_every=2, compute_pll=False,
+        interpret=True, **kw)
+    sp, _, _, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
+                                   atol=2e-5, err_msg=k)
