@@ -533,7 +533,7 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                                l2, sparsity_target, sparsity_cost,
                                sparsity_damping, metrics_every,
                                visible='bernoulli', sigma=None,
-                               tile=1024):
+                               tile=1024, interpret=False):
     """Build the hidden-tiled CD-k epoch program for big RBMs (W in HBM).
 
     Same interface as `make_cd_epoch_kernel` but PLL is not computed
@@ -625,6 +625,7 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                 dimension_semantics=('arbitrary',),
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
+            interpret=(pltpu.InterpretParams() if interpret else False),
         )(scalars, sched, X_batches, jnp.asarray(sigma_arr), *in_state)
 
         (W, dW, vb, hb, dvb, dhb, q, msre, l2row) = outs

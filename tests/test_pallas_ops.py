@@ -581,3 +581,40 @@ def test_kernel_variants_interpret_match_xla_cpu(flavor, tmp_path):
     for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
         np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
                                    atol=2e-5, err_msg=k)
+
+
+def test_tiled_kernel_interpret_matches_xla_cpu(tmp_path):
+    """Interpret-mode CPU golden for the hidden-tiled (HBM-streamed W/dW,
+    double-buffered DMA) kernel, including the lane-padding mask (H=16
+    pads to 128)."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.ops.pallas_ops import make_tiled_cd_epoch_kernel
+
+    V, H, B, NB = 24, 16, 8, 3
+    rbm = BernoulliRBM(n_visible=V, n_hidden=H, batch_size=B,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       sample_h_states=False, sample_v_states=False,
+                       l2=1e-5, sparsity_cost=1e-5,
+                       metrics_config=dict(msre=True,
+                                           train_metrics_every_iter=2),
+                       model_path=str(tmp_path) + '/')
+    rbm._ensure_state()
+    X = (np.random.RandomState(0).rand(NB * B, V) < 0.3).astype(np.float32)
+    full, rem, _ = rbm._stage_batches(X)
+    s0 = jtu.tree_map(jnp.copy, rbm._state)
+    s1 = jtu.tree_map(jnp.copy, rbm._state)
+    ep_xla = rbm._program('train_epoch', rbm._train_epoch_program)
+    sx, _, stacked = ep_xla(s0, full, 0.05, 0.9, 1, jax.random.PRNGKey(0), 0)
+    ep = make_tiled_cd_epoch_kernel(
+        V, H, B, k=1, sample_v_states=False, sample_h_states=False,
+        propup_mult=1., propdown_mult=1., l2=1e-5, sparsity_target=0.1,
+        sparsity_cost=1e-5, sparsity_damping=0.9, metrics_every=2,
+        tile=128, interpret=True)
+    sp, msre, _, l2row = ep(s1, full, 0.05, 0.9, 7, 0)
+    for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
+        np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
+                                   atol=2e-5, err_msg=k)
+    mask = np.asarray(stacked[3]).astype(bool)
+    np.testing.assert_allclose(np.asarray(stacked[0])[mask],
+                               np.asarray(msre)[mask], atol=1e-5)
