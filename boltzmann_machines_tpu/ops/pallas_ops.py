@@ -710,7 +710,7 @@ def _cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_ref, vb_ref, hb_ref,
 def make_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
                          sample_v_states, sample_h_states,
                          propup_mult, propdown_mult,
-                         visible='bernoulli', sigma=None):
+                         visible='bernoulli', sigma=None, interpret=False):
     """Build ``stats(state, X_local, seed, it, shard) -> (stats, aux)`` for
     one shard-local minibatch: `stats` matches `BaseRBM._cd_stats` (assoc /
     dvb_sum / dhb_sum / h_sum raw sums, psum-able across the data axis) and
@@ -750,6 +750,7 @@ def make_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
+            interpret=(pltpu.InterpretParams() if interpret else False),
         )(seeds, X_batch, jnp.asarray(sigma_arr),
           state['W'], state['vb'].reshape(1, V), state['hb'].reshape(1, H))
         assoc, dvb, dhb, hsum, v_means = outs

@@ -618,3 +618,33 @@ def test_tiled_kernel_interpret_matches_xla_cpu(tmp_path):
     mask = np.asarray(stacked[3]).astype(bool)
     np.testing.assert_allclose(np.asarray(stacked[0])[mask],
                                np.asarray(msre)[mask], atol=1e-5)
+
+
+def test_cd_stats_kernel_interpret_matches_lax_cpu(tmp_path):
+    """Interpret-mode CPU golden for the shard-local CD stats kernel: the
+    psum-able raw sums match `BaseRBM._cd_stats` (the lax twin the CPU
+    mesh tests run) with sampling disabled."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.ops.pallas_ops import make_cd_stats_kernel
+
+    V, H, B = 24, 16, 8
+    rbm = BernoulliRBM(n_visible=V, n_hidden=H, batch_size=B,
+                       random_seed=1337, verbose=False,
+                       save_after_each_epoch=False,
+                       sample_h_states=False, sample_v_states=False,
+                       model_path=str(tmp_path) + '/')
+    rbm._ensure_state()
+    X = jnp.asarray((np.random.RandomState(0).rand(B, V) < 0.3)
+                    .astype(np.float32))
+    stats_lax, aux_lax = rbm._cd_stats(rbm._state, X, 1,
+                                       jax.random.PRNGKey(0))
+    stats_fn = make_cd_stats_kernel(V, H, B, k=1, sample_v_states=False,
+                                    sample_h_states=False, propup_mult=1.,
+                                    propdown_mult=1., interpret=True)
+    stats_pal, aux_pal = stats_fn(rbm._state, X, 7, 1, 0)
+    for k in stats_lax:
+        np.testing.assert_allclose(np.asarray(stats_lax[k]),
+                                   np.asarray(stats_pal[k]), atol=2e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(aux_lax['v_means']),
+                               np.asarray(aux_pal['v_means']), atol=2e-5)
