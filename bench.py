@@ -31,7 +31,11 @@ Prints ONE JSON line with the headline metric plus the auxiliary fields.
 """
 
 import json
+import os
+import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -86,7 +90,36 @@ def measure(batch_size, n_samples, n_epochs, metrics_config):
     return n_samples * n_epochs / dt
 
 
-def main():
+_DONE = threading.Event()
+
+
+def _emit_failure(reason):
+    """One structured, parseable JSON line instead of a stack trace, so an
+    outage round stays interpretable (round-3 BENCH artifact was a raw
+    traceback).  Exit code 0: the failure IS the recorded result."""
+    print(json.dumps({
+        'metric': 'rbm_mnist_cd1_train_samples_per_sec',
+        'value': None,
+        'unit': 'samples/s',
+        'vs_baseline': None,
+        'backend_unavailable': True,
+        'error': reason[:2000],
+        'last_green': 'BENCH_r02: 11.3M samples/s (462x ref-config)',
+    }), flush=True)
+
+
+def _watchdog(deadline_s):
+    """The TPU plugin backend can hang inside its init/retry loop with no
+    deadline of its own (observed round 3); a daemon timer converts that
+    hang into a structured-failure exit."""
+    if _DONE.wait(deadline_s):
+        return
+    _emit_failure('watchdog: bench did not complete within %.0f s '
+                  '(backend hang or extreme tunnel latency)' % deadline_s)
+    os._exit(0)
+
+
+def _measure_all():
     headline = measure(batch_size=256, n_samples=55296, n_epochs=20,
                        metrics_config=dict(train_metrics_every_iter=10 ** 9))
     # the reference's own configuration (rbm_mnist.py: batch 10, metrics
@@ -94,6 +127,27 @@ def main():
     ref_cfg = measure(batch_size=10, n_samples=55000, n_epochs=2,
                       metrics_config=dict(msre=True, pll=True,
                                           train_metrics_every_iter=1000))
+    return headline, ref_cfg
+
+
+def main():
+    deadline = float(os.environ.get('GRAFT_BENCH_DEADLINE', '1500'))
+    threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
+    last_err = None
+    for attempt in range(3):
+        if attempt:
+            time.sleep(30. * attempt)   # bounded backoff between retries
+        try:
+            headline, ref_cfg = _measure_all()
+            break
+        except Exception:
+            last_err = traceback.format_exc()
+            sys.stderr.write(last_err)
+    else:
+        _DONE.set()
+        _emit_failure('backend error after 3 attempts: ' +
+                      last_err.strip().splitlines()[-1])
+        return
     mfu_bf16 = headline * FLOP_PER_SAMPLE / V5E_PEAK_FLOPS
     print(json.dumps({
         'metric': 'rbm_mnist_cd1_train_samples_per_sec',
@@ -110,7 +164,8 @@ def main():
         'ref_config_batch10_samples_per_sec': round(ref_cfg, 1),
         'ref_config_batch10_vs_baseline':
             round(ref_cfg / BASELINE_SAMPLES_PER_SEC, 2),
-    }))
+    }), flush=True)
+    _DONE.set()
 
 
 if __name__ == '__main__':

@@ -172,17 +172,28 @@ class MetricsPipeline(object):
                         try:
                             consume(fetched[pos:pos + len(arrays)])
                         except BaseException as e:
-                            if self._exc is None:
-                                self._exc = e
+                            self._record(e)
                         pos += len(arrays)
             except BaseException as e:  # re-raised on the training thread
-                if self._exc is None:
-                    self._exc = e
+                self._record(e)
             for _ in batch:
                 self._q.task_done()
             if stop:
                 self._q.task_done()
                 return
+
+    def _record(self, e):
+        """Keep the FIRST exception for re-raise on the training thread;
+        later distinct failures are printed rather than silently dropped
+        (only one can propagate, but none should be invisible)."""
+        if self._exc is None:
+            self._exc = e
+        else:
+            import sys
+            import traceback
+            sys.stderr.write('MetricsPipeline: discarding secondary '
+                             'exception (one already pending):\n' +
+                             ''.join(traceback.format_exception_only(e)))
 
     def _check(self):
         if self._exc is not None:
@@ -632,6 +643,15 @@ class JAXModel(BaseModel, DtypeMixin):
         if want_ckpt and writer.heavy_busy():
             want_ckpt = False
             writer.n_dropped += 1
+            if writer.n_dropped == 1:
+                # one runtime signal per fit that the checkpoint cadence is
+                # degrading under link backpressure; total reported at the
+                # end of fit (advisor round 3)
+                from ..utils.utils import write_during_training
+                write_during_training(
+                    'WARNING: intermediate checkpoint skipped (previous '
+                    'state fetch still in flight); cadence degrades to '
+                    'link speed')
         payload = self._checkpoint_payload() if want_ckpt else None
         snap = None
         if want_ckpt:

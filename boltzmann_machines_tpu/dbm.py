@@ -669,14 +669,16 @@ class DBM(EnergyBasedModel):
                 new_state = self._apply_dbm_update(
                     state, stats, particles, N_global, M_global, lr, momentum)
                 v_means = self._reconstruction_means(new_state, aux['mu0'])
-                sq = jax.lax.psum(jnp.sum(jnp.square(X_batch - v_means)),
-                                  axis)
-                msre = sq / jnp.asarray(N_global * V, dtype)
-                return (new_state, it), (msre, aux['n_mf'])
+                # local squared error only; the cross-shard reduction is
+                # batched into one vector psum after the scan
+                sq = jnp.sum(jnp.square(X_batch - v_means))
+                return (new_state, it), (sq, aux['n_mf'])
 
-            (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
-                                                X_batches)
-            return state, it, stacked
+            (state, it), (sq_v, n_mf_v) = jax.lax.scan(
+                scan_body, (state, iter0), X_batches)
+            msre_v = jax.lax.psum(sq_v, axis) / \
+                jnp.asarray(N_global * V, dtype)
+            return state, it, (msre_v, n_mf_v)
 
         rep = P()
         shard = P(axis, None)
@@ -693,7 +695,7 @@ class DBM(EnergyBasedModel):
 
     def _shardmap_epoch_program(self, k):
         """One jitted dispatch of the shard_map DBM epoch."""
-        return jax.jit(self._shardmap_epoch_core(k), donate_argnums=(0,))
+        return jax.jit(self._shardmap_epoch_core(k))
 
     def _shardmap_block_program(self, k, use_val):
         """E epochs of mesh-sharded PCD/MF training in one jitted dispatch:
@@ -725,7 +727,7 @@ class DBM(EnergyBasedModel):
                 epoch_body, (state, iter0), (lrs, moms, ks_unused, epochs))
             return state, stacked
 
-        return jax.jit(block_fn, donate_argnums=(0,))
+        return jax.jit(block_fn)
 
     def _pallas_epoch_program(self, k, n_batches):
         from .ops.pallas_dbm import make_dbm_epoch_kernel
@@ -761,13 +763,13 @@ class DBM(EnergyBasedModel):
             (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
                                                 X_batches)
             return state, it, stacked
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+        return jax.jit(epoch_fn)
 
     def _train_step_program(self):
         def step_fn(state, X_batch, lr, momentum, k, key, it):
             return self._train_step(state, X_batch, lr, momentum, k,
                                     jax.random.fold_in(key, it))
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn)
 
     def _val_core(self, state, val_full, val_rem):
         """In-program validation msre/n_mf over the staged val set;
@@ -834,7 +836,7 @@ class DBM(EnergyBasedModel):
                 epoch_body, (state, iter0), (lrs, moms, ks, epochs))
             return state, stacked
 
-        return jax.jit(block_fn, donate_argnums=(0,))
+        return jax.jit(block_fn)
 
     def _block_val(self, outs, state, e, val_full, val_rem, use_val):
         """Fill `outs` with the in-program val-metrics entry of one block
@@ -893,7 +895,7 @@ class DBM(EnergyBasedModel):
                 epoch_body, (state, iter0), (lrs, moms, seeds, epochs))
             return state, stacked
 
-        return jax.jit(block_fn, donate_argnums=(0,))
+        return jax.jit(block_fn)
 
     def _train_metrics_every(self):
         return int(self.train_metrics_every_iter)
@@ -1028,7 +1030,7 @@ class DBM(EnergyBasedModel):
             new_state['v'] = v_means
             new_state['H'] = H
             return new_state, v_means
-        return jax.jit(sample_fn, donate_argnums=(0,))
+        return jax.jit(sample_fn)
 
     # ---------------------------- AIS --------------------------------- #
     def _ais_unnorm_log_prob_h1(self, state, x, beta, b0=None):
@@ -1309,6 +1311,12 @@ class DBM(EnergyBasedModel):
         finally:
             mp.join()
             aw.join()
+            if aw.n_dropped:
+                from .utils.utils import write_during_training
+                write_during_training(
+                    '%d intermediate checkpoint(s) skipped under device-'
+                    'link backpressure; final checkpoint written '
+                    'synchronously' % aw.n_dropped)
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_val, aw, mp):

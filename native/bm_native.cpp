@@ -151,7 +151,9 @@ void bm_augment_x10(const float* in, float* out, long long N, long long H,
 }
 
 // Fused x10 augmentation producing the on-disk cache layout directly:
-// uint8 pixels (truncating v*255, matching numpy's float->uint8 astype),
+// uint8 pixels (truncating clamp(v*255, 0, 255); equal to numpy's
+// float->uint8 astype on the documented in-range [0,1] inputs, and defined
+// -- saturating -- on out-of-range ones where the bare cast would be UB),
 // flattened CHANNEL-MAJOR (utils/dataset.im_flatten: (H, W, C) -> C*H*W).
 // Writing uint8 instead of float32 quarters the output first-touch
 // footprint, which dominates wall-clock in sandboxed VMs where new-page
@@ -180,8 +182,13 @@ void bm_augment_x10_u8(const float* in, unsigned char* out, long long N,
                     for (long long c = 0; c < C; ++c) {
                         const float val =
                             ok ? src[(sy * W + sx) * C + c] : 0.f;
-                        dst[c * H * W + y * W + x] =
-                            (unsigned char)(val * 255.0f);
+                        // clamp before the cast: float->u8 conversion is UB
+                        // outside [0,255], so inputs outside the documented
+                        // [0,1] range would otherwise produce platform-
+                        // dependent garbage (advisor round 3)
+                        float p = val * 255.0f;
+                        p = p < 0.f ? 0.f : (p > 255.f ? 255.f : p);
+                        dst[c * H * W + y * W + x] = (unsigned char)p;
                     }
                 }
             }
