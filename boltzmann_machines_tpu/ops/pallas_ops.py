@@ -133,14 +133,26 @@ def _multinomial_sample_bits(means, n_samples):
     (Mosaic-safe cumsum on the MXU), then `n_samples` inverse-CDF bucket
     tests accumulated by a fori_loop, and adjacent differences via a
     shifted-identity matmul.  Mirrors MultinomialLayer.sample (layers.py)
-    with the on-chip PRNG."""
+    with the on-chip PRNG.
+
+    Both matmuls run at ``Precision.HIGHEST``: the default TPU matmul
+    precision feeds the MXU bf16-truncated operands, which (a) perturbs
+    the CDF by ~2^-9 relative and -- far worse -- (b) rounds the
+    accumulated counts ``s`` (integers up to n_samples) to bf16's 8-bit
+    mantissa in the shift product, producing wrong and even negative
+    counts whenever ``n_samples > 256`` (observed on v5e at n=513/1000:
+    row sums 854..1105 instead of exactly n).  HIGHEST keeps integer
+    values <= 2^24 exact through the bf16x3 decomposition; the cost is
+    ~1e8 extra MXU MACs, irrelevant next to the n_samples*B*H compare
+    volume."""
     f32 = jnp.float32
     B, H = means.shape
     p = means * f32(1. / n_samples)
     row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
     tri = (row <= col).astype(f32)
-    cdf = jnp.dot(p, tri, preferred_element_type=f32)
+    cdf = jnp.dot(p, tri, preferred_element_type=f32,
+                  precision=jax.lax.Precision.HIGHEST)
     # the last bucket absorbs every draw despite float rounding of the CDF
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
     cdf = cdf + (lane == (H - 1)).astype(f32)
@@ -151,7 +163,8 @@ def _multinomial_sample_bits(means, n_samples):
 
     s = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((B, H), f32))
     shift = (col == row + 1).astype(f32)   # (s @ shift)_j = s_{j-1}
-    return s - jnp.dot(s, shift, preferred_element_type=f32)
+    return s - jnp.dot(s, shift, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
 
 
 def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,

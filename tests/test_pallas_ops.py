@@ -101,6 +101,19 @@ def test_normal_and_multinomial_sampler_ops():
     assert (c.sum(-1) == 100).all()
     assert np.abs(c.mean(0) - 100 * probs).max() < 1.0
 
+    # regression: n_samples > 256 at reference M-RBM shapes.  The shift
+    # matmul at default TPU precision bf16-truncates the accumulated
+    # counts, yielding wrong and even negative counts (observed row sums
+    # 854..1105 for n=1000 before the Precision.HIGHEST fix).
+    probs = np.random.RandomState(1).dirichlet(np.ones(1000))
+    means = np.broadcast_to(1000 * probs, (100, 1000)).astype(np.float32).copy()
+    c = np.asarray(multinomial_sample(jnp.uint32(7), means, 1000))
+    assert (c.sum(-1) == 1000).all()
+    assert (c >= 0).all()
+    c513 = np.asarray(multinomial_sample(jnp.uint32(9), means * (513. / 1000.), 513))
+    assert (c513.sum(-1) == 513).all()
+    assert (c513 >= 0).all()
+
 
 @requires_tpu
 def test_gaussian_cd_epoch_kernel_matches_xla(tmp_path):
