@@ -309,13 +309,37 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                         f32(n_visible)).astype(jnp.int32)
             flip = (ridx == flip_idx).astype(f32)
             Xf = X + flip - 2. * X * flip
-            act = jnp.dot(X, Wn, preferred_element_type=f32) + hbn
-            act_f = jnp.dot(Xf, Wn, preferred_element_type=f32) + hbn
             Nf = f32(batch_size)
+
             # batch-mean free energy as pure scalar reductions (1-D vectors
-            # trigger Mosaic relayout issues)
-            fe = (-jnp.sum(X * vbn) - jnp.sum(jax.nn.softplus(act))) / Nf
-            fe_f = (-jnp.sum(Xf * vbn) - jnp.sum(jax.nn.softplus(act_f))) / Nf
+            # trigger Mosaic relayout issues).  Per-flavour formulas mirror
+            # rbm/rbm.py _free_energy (reference rbm.py:17-22, 50-60,
+            # 109-116); like the XLA _pll they apply NO dbm doubling.
+            def fe_of(Xv):
+                if visible == 'gaussian':
+                    # inputs are already sigma-divided; vb is raw
+                    d = Xv - vbn / sigma_ref[:]
+                    t_vis = 0.5 * jnp.sum(d * d)
+                else:
+                    t_vis = -jnp.sum(Xv * vbn)
+                act = jnp.dot(Xv, Wn, preferred_element_type=f32)
+                if hidden == 'multinomial':
+                    # Monte-Carlo FE: one fresh uniform-multinomial count
+                    # vector per evaluation (the XLA path draws per call
+                    # too); the log multinomial-coefficient constant
+                    # cancels in the fe_f - fe difference, so it is
+                    # omitted here.
+                    Hn = hbn.shape[1]
+                    h_hat = _multinomial_sample_bits(
+                        jnp.full((1, Hn), f32(n_samples) / f32(Hn), f32),
+                        n_samples)
+                    t_hid = -jnp.sum(act * h_hat)
+                else:
+                    t_hid = -jnp.sum(jax.nn.softplus(act + hbn))
+                return (t_vis + t_hid) / Nf
+
+            fe = fe_of(X)
+            fe_f = fe_of(Xf)
             pll_val = f32(n_visible) * jax.nn.log_sigmoid(fe_f - fe)
             pll_o[pl.ds(i, 1), :] = jnp.full((1, 128), pll_val, dtype=f32)
 
@@ -795,8 +819,6 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
     V, H, B = n_visible, n_hidden, batch_size
     assert visible in ('bernoulli', 'gaussian')
     assert hidden in ('bernoulli', 'multinomial')
-    assert not (visible == 'gaussian' and compute_pll)
-    assert not (hidden == 'multinomial' and compute_pll)
     assert hidden == 'bernoulli' or n_samples is not None
     sigma_arr = (np.ones((1, V), np.float32) if sigma is None
                  else np.broadcast_to(

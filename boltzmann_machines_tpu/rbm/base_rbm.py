@@ -785,8 +785,9 @@ class BaseRBM(EnergyBasedModel):
     def _pallas_eligible(self):
         """The fused CD-epoch kernel covers sigmoid- or multinomial-hidden
         RBMs with Bernoulli or fixed-sigma Gaussian visible units, in
-        float32 without dropout on a real TPU (single chip).  PLL needs
-        Bernoulli units on both sides."""
+        float32 without dropout on a real TPU (single chip), including
+        PLL logging for every flavour (the kernel evaluates the
+        per-flavour free energies in-VMEM)."""
         if self.kernel == 'xla':
             return False
         # a single-device mesh needs no collectives -- keep the (much
@@ -797,8 +798,6 @@ class BaseRBM(EnergyBasedModel):
         kind, _ = self._pallas_visible_kind()
         hid, _ = self._pallas_hidden_kind()
         ok = (kind is not None and hid is not None
-              and not ((kind == 'gaussian' or hid == 'multinomial')
-                       and self.metrics_config['pll'])
               and self.dtype == 'float32'
               and self.dropout is None
               and single_dev

@@ -588,12 +588,20 @@ def test_kernel_variants_interpret_match_xla_cpu(flavor, tmp_path):
         propup_mult=1., propdown_mult=1.,
         l2=(1e-3 if flavor == 'gaussian' else 1e-4), sparsity_target=0.1,
         sparsity_cost=(1e-3 if flavor == 'gaussian' else 1e-4),
-        sparsity_damping=0.9, metrics_every=2, compute_pll=False,
+        sparsity_damping=0.9, metrics_every=2, compute_pll=True,
         interpret=True, **kw)
-    sp, _, _, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
+    sp, _, pll, _ = ep_pal(s1, full, 1e-3, 0.9, 7, 0)
     for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
         np.testing.assert_allclose(np.asarray(sx[k]), np.asarray(sp[k]),
                                    atol=2e-5, err_msg=k)
+    # the per-flavour in-kernel PLL (Gaussian free energy / Monte-Carlo
+    # multinomial free energy): PLL = V * log_sigmoid(.) is finite and
+    # <= 0 on logged iterations, exactly 0 elsewhere (cadence = 2)
+    pll = np.asarray(pll).reshape(-1)
+    logged = np.arange(1, 1 + len(pll)) % 2 == 0
+    assert np.isfinite(pll[logged]).all()
+    assert (pll[logged] < 0).all()
+    assert (pll[~logged] == 0).all()
 
 
 def test_tiled_kernel_interpret_matches_xla_cpu(tmp_path):
