@@ -678,6 +678,214 @@ def make_tiled_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
     return epoch
 
 
+def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
+                           assoc_hbm, dvb_o, dhb_o, hsum_o, vmeans_o,
+                           Wt, Wt2, at0, at1, h0m, hst, hm, vpre, vst,
+                           dma_sems,
+                           *, k, batch_size, n_visible, n_hidden,
+                           n_hidden_real, tile,
+                           sample_v_states, sample_h_states,
+                           propup_mult, propdown_mult, visible):
+    """Per-shard CD-k sufficient statistics for models whose W + assoc do
+    not fit VMEM: W stays in HBM and streams through double-buffered
+    (V, tile) VMEM tiles (like `_tiled_cd_epoch_kernel`), and the
+    positive-negative association streams OUT tile-by-tile.  The psum-able
+    outputs match `_cd_stats_kernel` exactly, so mesh training of e.g. the
+    3072x7800 CIFAR G-RBM keeps the fused path instead of dropping to the
+    lax body.
+
+    Semaphore layout: 0/1 W tile loads, 2/3 assoc tile stores."""
+    f32 = jnp.float32
+    shard_seed = seed_ref[0] ^ (seed_ref[2] * jnp.uint32(0x9E3779B9))
+    pltpu.prng_seed(shard_seed, seed_ref[1])
+    V, H, B = n_visible, n_hidden, batch_size
+    n_tiles = (H + tile - 1) // tile
+    up = f32(propup_mult)
+    down = f32(propdown_mult)
+    X = x_ref[:]
+    vb = vb_ref[:]
+    hb = hb_ref[:]
+
+    tl = []
+    for t in range(n_tiles):
+        c0 = t * tile
+        tl.append((t, c0, min(tile, H - c0)))
+
+    def w_buf(idx):
+        return Wt if idx % 2 == 0 else Wt2
+
+    def a_buf(idx):
+        return at0 if idx % 2 == 0 else at1
+
+    def start_w_load(idx):
+        t, c0, w = tl[idx]
+        cp = pltpu.make_async_copy(W_in.at[:, c0:c0 + w],
+                                   w_buf(idx).at[:, :w],
+                                   dma_sems.at[idx % 2])
+        cp.start()
+        return cp
+
+    def bern(p):
+        return (_uniform_bits(p.shape) < p).astype(f32)
+
+    def h_pass(src, dst_means):
+        cp = start_w_load(0)
+        for idx, (t, c0, w) in enumerate(tl):
+            nxt = start_w_load(idx + 1) if idx + 1 < n_tiles else None
+            cp.wait()
+            act = jnp.dot(src, w_buf(idx)[:, :w], preferred_element_type=f32)
+            dst_means[:, c0:c0 + w] = jax.nn.sigmoid(
+                up * (act + hb[:, c0:c0 + w]))
+            cp = nxt
+
+    def v_pass(h_src):
+        vpre[:] = jnp.zeros((B, V), f32)
+        cp = start_w_load(0)
+        for idx, (t, c0, w) in enumerate(tl):
+            nxt = start_w_load(idx + 1) if idx + 1 < n_tiles else None
+            cp.wait()
+            vpre[:] += jax.lax.dot_general(
+                h_src[:, c0:c0 + w], w_buf(idx)[:, :w],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            cp = nxt
+
+    # positive phase
+    h_pass(X, h0m)
+    hst[:] = bern(h0m[:]) if sample_h_states else h0m[:]
+
+    # CD-k chain
+    v_means_last = X
+    for _step in range(k):
+        v_pass(hst[:])
+        if visible == 'gaussian':
+            v_means = down * vpre[:] * sigma_ref[:] + down * vb
+            if sample_v_states:
+                vst[:] = v_means + _normal_from_bits((B, V)) * sigma_ref[:]
+            else:
+                vst[:] = v_means
+        else:
+            v_means = jax.nn.sigmoid(down * (vpre[:] + vb))
+            vst[:] = bern(v_means) if sample_v_states else v_means
+        v_means_last = v_means
+        h_pass(vst[:], hm)
+        hst[:] = bern(hm[:]) if sample_h_states else hm[:]
+
+    # association tiles: pos - neg computed in VMEM, streamed to the HBM
+    # output under the next tile's matmuls (padded columns carry sigmoid
+    # garbage and are sliced off by the wrapper)
+    out_cps = [None, None]
+    for idx, (t, c0, w) in enumerate(tl):
+        if out_cps[idx % 2] is not None:
+            out_cps[idx % 2].wait()
+            out_cps[idx % 2] = None
+        pos = jax.lax.dot_general(X, h0m[:, c0:c0 + w],
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        neg = jax.lax.dot_general(vst[:], hm[:, c0:c0 + w],
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        a_buf(idx)[:, :w] = pos - neg
+        oc = pltpu.make_async_copy(a_buf(idx).at[:, :w],
+                                   assoc_hbm.at[:, c0:c0 + w],
+                                   dma_sems.at[2 + idx % 2])
+        oc.start()
+        out_cps[idx % 2] = oc
+    for oc in out_cps:
+        if oc is not None:
+            oc.wait()
+
+    dvb_o[:] = jnp.sum(X - vst[:], axis=0, keepdims=True)
+    dhb_o[:] = jnp.sum(h0m[:] - hm[:], axis=0, keepdims=True)
+    hsum_o[:] = jnp.sum(hm[:], axis=0, keepdims=True)
+    vmeans_o[:] = v_means_last
+
+
+def make_tiled_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
+                               sample_v_states, sample_h_states,
+                               propup_mult, propdown_mult,
+                               visible='bernoulli', sigma=None,
+                               tile=512, interpret=False):
+    """Tiled (HBM-streamed W) twin of `make_cd_stats_kernel` -- same
+    ``stats(state, X_local, seed, it, shard) -> (stats, aux)`` contract,
+    for models too large for the all-resident stats kernel."""
+    V, B = n_visible, batch_size
+    H_real = n_hidden
+    H = ((n_hidden + 127) // 128) * 128
+    tile = min(tile, H)
+    assert visible in ('bernoulli', 'gaussian')
+    sigma_arr = (np.ones((1, V), np.float32) if sigma is None
+                 else np.broadcast_to(
+                     np.asarray(sigma, np.float32).reshape(1, -1),
+                     (1, V)).copy())
+
+    kern = functools.partial(
+        _tiled_cd_stats_kernel, k=k, batch_size=B, n_visible=V, n_hidden=H,
+        n_hidden_real=H_real, tile=tile,
+        sample_v_states=sample_v_states, sample_h_states=sample_h_states,
+        propup_mult=propup_mult, propdown_mult=propdown_mult,
+        visible=visible)
+
+    def stats(state, X_batch, seed, it, shard):
+        f32 = jnp.float32
+        seeds = jnp.stack([jnp.asarray(seed, jnp.uint32),
+                           jnp.asarray(it, jnp.int32).astype(jnp.uint32),
+                           jnp.asarray(shard, jnp.int32).astype(jnp.uint32)])
+
+        def pad_cols(a):
+            return a if H == H_real else \
+                jnp.pad(a, ((0, 0), (0, H - H_real)))
+
+        outs = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),   # W (HBM)
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),  # assoc (HBM)
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((V, H), f32),   # assoc
+                jax.ShapeDtypeStruct((1, V), f32),   # dvb_sum
+                jax.ShapeDtypeStruct((1, H), f32),   # dhb_sum
+                jax.ShapeDtypeStruct((1, H), f32),   # h_sum
+                jax.ShapeDtypeStruct((B, V), f32),   # v_means
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((V, tile), jnp.float32),   # Wt
+                pltpu.VMEM((V, tile), jnp.float32),   # Wt2
+                pltpu.VMEM((V, tile), jnp.float32),   # assoc tile 0
+                pltpu.VMEM((V, tile), jnp.float32),   # assoc tile 1
+                pltpu.VMEM((B, H), jnp.float32),      # h0 means
+                pltpu.VMEM((B, H), jnp.float32),      # h states
+                pltpu.VMEM((B, H), jnp.float32),      # h means
+                pltpu.VMEM((B, V), jnp.float32),      # v preactivation
+                pltpu.VMEM((B, V), jnp.float32),      # v states
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(seeds, X_batch, jnp.asarray(sigma_arr), pad_cols(state['W']),
+          state['vb'].reshape(1, V),
+          pad_cols(state['hb'].reshape(1, H_real)))
+        assoc, dvb, dhb, hsum, v_means = outs
+        stats_tree = {'assoc': assoc[:, :H_real],
+                      'dvb_sum': dvb.reshape(V),
+                      'dhb_sum': dhb.reshape(H)[:H_real],
+                      'h_sum': hsum.reshape(H)[:H_real]}
+        aux = {'X': X_batch, 'v_means': v_means}
+        return stats_tree, aux
+
+    return stats
+
+
 def _cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_ref, vb_ref, hb_ref,
                      assoc_o, dvb_o, dhb_o, hsum_o, vmeans_o,
                      *, k, sample_v_states, sample_h_states,

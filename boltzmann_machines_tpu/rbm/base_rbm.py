@@ -510,19 +510,30 @@ class BaseRBM(EnergyBasedModel):
         return True
 
     def _pallas_stats_eligible(self, local_batch):
+        """'resident' (W + assoc VMEM-resident), 'tiled' (W HBM-streamed
+        through (V, tile) buffers -- big models, e.g. the 3072x7800 CIFAR
+        G-RBM on a mesh), or None (fall back to the lax stats body)."""
         from ..layers import BernoulliLayer
         if self.kernel == 'xla' or jax.default_backend() != 'tpu':
-            return False
+            return None
         kind, _ = self._pallas_visible_kind()
         if kind is None or not isinstance(self._h_layer, BernoulliLayer):
-            return False
+            return None
         if self.dtype != 'float32' or self.dropout is not None:
-            return False
+            return None
         # VMEM: W + assoc (V,H each) + the local batch tile + ~6
         # batch-sized intermediates
         vmem = (2 * self.n_visible * self.n_hidden * 4
                 + local_batch * (3 * self.n_visible + 6 * self.n_hidden) * 4)
-        return vmem <= 96 * 1024 * 1024
+        if vmem <= 96 * 1024 * 1024:
+            return 'resident'
+        tile = 512
+        scratch = (4 * self.n_visible * tile * 4
+                   + local_batch * (4 * self.n_visible
+                                    + 3 * self.n_hidden) * 4)
+        if scratch <= 100 * 1024 * 1024:
+            return 'tiled'
+        return None
 
     def _shardmap_epoch_core(self, k):
         """One training epoch over a data-parallel mesh as a shard_map
@@ -543,10 +554,14 @@ class BaseRBM(EnergyBasedModel):
         dtype = self._jnp_dtype
 
         stats_fn = None
-        if self._pallas_stats_eligible(N_global // nsh):
-            from ..ops.pallas_ops import make_cd_stats_kernel
+        stats_mode = self._pallas_stats_eligible(N_global // nsh)
+        if stats_mode is not None:
+            from ..ops.pallas_ops import (make_cd_stats_kernel,
+                                          make_tiled_cd_stats_kernel)
             kind, sigma = self._pallas_visible_kind()
-            stats_fn = make_cd_stats_kernel(
+            maker = (make_cd_stats_kernel if stats_mode == 'resident'
+                     else make_tiled_cd_stats_kernel)
+            stats_fn = maker(
                 V, self.n_hidden, N_global // nsh, k,
                 sample_v_states=self.sample_v_states,
                 sample_h_states=self.sample_h_states,

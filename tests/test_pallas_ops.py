@@ -669,3 +669,71 @@ def test_cd_stats_kernel_interpret_matches_lax_cpu(tmp_path):
                                    err_msg=k)
     np.testing.assert_allclose(np.asarray(aux_lax['v_means']),
                                np.asarray(aux_pal['v_means']), atol=2e-5)
+
+
+@requires_tpu
+def test_tiled_cd_stats_kernel_matches_resident_tpu(tmp_path):
+    """Compiled golden: the HBM-streamed stats kernel agrees with the
+    all-resident stats kernel (sampling disabled) on the real chip."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.ops.pallas_ops import (
+        make_cd_stats_kernel, make_tiled_cd_stats_kernel)
+
+    V, H, B = 512, 640, 32
+    rbm = BernoulliRBM(n_visible=V, n_hidden=H, batch_size=B,
+                       random_seed=1, verbose=False,
+                       save_after_each_epoch=False,
+                       sample_h_states=False, sample_v_states=False,
+                       model_path=str(tmp_path) + '/')
+    rbm._ensure_state()
+    X = jnp.asarray((np.random.RandomState(0).rand(B, V) < 0.3)
+                    .astype(np.float32))
+    res = make_cd_stats_kernel(V, H, B, k=1, sample_v_states=False,
+                               sample_h_states=False, propup_mult=1.,
+                               propdown_mult=1.)
+    til = make_tiled_cd_stats_kernel(V, H, B, k=1, sample_v_states=False,
+                                     sample_h_states=False, propup_mult=1.,
+                                     propdown_mult=1., tile=256)
+    s_res, a_res = res(rbm._state, X, 7, 1, 0)
+    s_til, a_til = til(rbm._state, X, 7, 1, 0)
+    for k in s_res:
+        np.testing.assert_allclose(np.asarray(s_res[k]),
+                                   np.asarray(s_til[k]), atol=3e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(a_res['v_means']),
+                               np.asarray(a_til['v_means']), atol=2e-5)
+
+
+def test_tiled_cd_stats_kernel_interpret_matches_lax_cpu(tmp_path):
+    """Interpret-mode CPU golden for the HBM-streamed (tiled) shard-local
+    CD stats kernel, including a non-128-multiple hidden width (lane
+    padding must be sliced out of every psum-able output)."""
+    from boltzmann_machines_tpu import GaussianRBM
+    from boltzmann_machines_tpu.ops.pallas_ops import \
+        make_tiled_cd_stats_kernel
+
+    V, H, B = 32, 200, 8   # H: 128-padded to 256, tiled at 128
+    rbm = GaussianRBM(n_visible=V, n_hidden=H, sigma=1., batch_size=B,
+                      random_seed=1337, verbose=False,
+                      save_after_each_epoch=False,
+                      sample_h_states=False, sample_v_states=False,
+                      model_path=str(tmp_path) + '/')
+    rbm._ensure_state()
+    X = jnp.asarray(np.random.RandomState(0).randn(B, V)
+                    .astype(np.float32))
+    stats_lax, aux_lax = rbm._cd_stats(rbm._state, X, 2,
+                                       jax.random.PRNGKey(0))
+    stats_fn = make_tiled_cd_stats_kernel(V, H, B, k=2,
+                                          sample_v_states=False,
+                                          sample_h_states=False,
+                                          propup_mult=1., propdown_mult=1.,
+                                          visible='gaussian', sigma=1.,
+                                          tile=128, interpret=True)
+    stats_pal, aux_pal = stats_fn(rbm._state, X, 7, 1, 0)
+    for k in stats_lax:
+        assert stats_pal[k].shape == stats_lax[k].shape, k
+        np.testing.assert_allclose(np.asarray(stats_lax[k]),
+                                   np.asarray(stats_pal[k]), atol=3e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(aux_lax['v_means']),
+                               np.asarray(aux_pal['v_means']), atol=2e-5)
