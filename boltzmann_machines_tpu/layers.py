@@ -90,10 +90,20 @@ class MultinomialLayer(BaseLayer):
         n_samples ~ n_units ~ 1000 scale of the reference models (gather
         loops and sequential splitting both map poorly to the VPU).
 
-        Transient compare volume is batch * n_units * n_samples elements;
-        fine at reference scales (<= ~1e8)."""
+        The CDF uses an upper-triangular matmul instead of `jnp.cumsum`
+        (a sequential scan on TPU, ~0.09 ms at (100, 1000) vs ~free on
+        the MXU) at Precision.HIGHEST so the bucket boundaries keep f32
+        fidelity.  Transient compare volume is
+        batch * n_units * n_samples elements; fine at reference scales
+        (<= ~1e8)."""
         probs = means / jnp.sum(means, axis=-1, keepdims=True)
-        cdf = jnp.cumsum(probs, axis=-1)
+        H = probs.shape[-1]
+        tri = (jnp.arange(H)[:, None] <= jnp.arange(H)[None, :]) \
+            .astype(probs.dtype)
+        cdf = jax.lax.dot_general(
+            probs, tri, (((probs.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=probs.dtype)
         # guarantee the last bucket absorbs all draws despite float error
         cdf = cdf.at[..., -1].set(jnp.inf)
         u = jax.random.uniform(key, means.shape[:-1] + (self.n_samples,),
