@@ -157,11 +157,26 @@ def _multinomial_sample_bits(means, n_samples):
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
     cdf = cdf + (lane == (H - 1)).astype(f32)
 
-    def body(_, s):
-        u = _uniform_bits((B, 1))
-        return s + (u < cdf).astype(f32)
+    # accumulate #(u_k < cdf_j) in draw chunks: one hardware-PRNG call and
+    # one fori iteration per CH draws (statically unrolled compares) --
+    # the draw-at-a-time loop paid ~5x the VPU compare floor in per-
+    # iteration overhead at n_samples ~ 1000
+    CH = 16
+    n_chunks, rem = divmod(n_samples, CH)
 
-    s = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((B, H), f32))
+    def chunk_body(_, s):
+        u = _uniform_bits((B, CH))
+        for c in range(CH):
+            s = s + (u[:, c:c + 1] < cdf).astype(f32)
+        return s
+
+    s = jnp.zeros((B, H), f32)
+    if n_chunks:
+        s = jax.lax.fori_loop(0, n_chunks, chunk_body, s)
+    if rem:
+        u = _uniform_bits((B, rem))
+        for c in range(rem):
+            s = s + (u[:, c:c + 1] < cdf).astype(f32)
     shift = (col == row + 1).astype(f32)   # (s @ shift)_j = s_{j-1}
     return s - jnp.dot(s, shift, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)

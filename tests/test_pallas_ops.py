@@ -221,16 +221,19 @@ def test_multinomial_cd_epoch_kernel_matches_xla(tmp_path):
 
 
 @requires_tpu
-def test_multinomial_kernel_sampler_distribution():
+@pytest.mark.parametrize('S', [100, 513])
+def test_multinomial_kernel_sampler_distribution(S):
     """The in-kernel inverse-CDF multinomial sampler is an exact
-    Multinomial(n, p): row sums, means, and variances match."""
+    Multinomial(n, p): row sums, means, and variances match -- including
+    n_samples > 256 (bf16-truncation regression) and a draw count that
+    exercises the chunked-PRNG remainder path (513 = 32*16 + 1)."""
     from functools import partial
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from boltzmann_machines_tpu.ops.pallas_ops import \
         _multinomial_sample_bits
 
-    B, H, S = 512, 128, 100
+    B, H = 512, 128
     probs = np.random.RandomState(0).dirichlet(np.ones(H))
     means = np.broadcast_to(S * probs, (B, H)).astype(np.float32).copy()
 
