@@ -63,21 +63,36 @@ def device_histogram(x, n_buckets=64):
             'n_nonfinite': n_bad}
 
 
+def _fetch_workers(default=4):
+    """Concurrent device->host stream count.  BMT_FETCH_WORKERS=1
+    serializes every fetch: concurrent readback streams are a measured
+    win on healthy links but can crash an unstable remote TPU worker
+    while a large program is executing (observed on the tunneled dev
+    chip during 64-epoch block programs with ~184 MB state fetches in
+    flight)."""
+    try:
+        return max(1, int(os.environ.get('BMT_FETCH_WORKERS', default)))
+    except ValueError:
+        return default
+
+
 def fetch_many(*arrays):
     """Fetch several (small) device arrays concurrently as numpy.
 
     Per-epoch metric readbacks are latency-bound on remote links (each
     blocking transfer pays a round trip); issuing them through a thread
-    pool overlaps the round trips.  Returns numpy arrays in order."""
+    pool overlaps the round trips.  Returns numpy arrays in order.
+    Honors BMT_FETCH_WORKERS (see `_fetch_workers`)."""
     arrays = list(arrays)
-    if len(arrays) <= 1:
+    w = _fetch_workers()
+    if len(arrays) <= 1 or w <= 1:
         return [np.asarray(a) for a in arrays]
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(min(4, len(arrays))) as ex:
+    with ThreadPoolExecutor(min(w, len(arrays))) as ex:
         return list(ex.map(np.asarray, arrays))
 
 
-def fetch_as(arr, np_dtype, chunk_mb=32, workers=4):
+def fetch_as(arr, np_dtype, chunk_mb=32, workers=None):
     """device->host fetch of `arr` as `np_dtype`, down-casting ON DEVICE
     first when the target is narrower -- on remote-attached TPUs the
     transfer is the cost, so shipping f16 instead of f32 halves it (e.g.
@@ -88,7 +103,11 @@ def fetch_as(arr, np_dtype, chunk_mb=32, workers=4):
     a small thread pool: some remote device links stall outright on
     multi-hundred-MB single transfers and run several times faster with a
     few concurrent streams (measured on the tunneled dev chip); chunking
-    also bounds peak host memory for the f32->f16 conversion."""
+    also bounds peak host memory for the f32->f16 conversion.  The
+    default stream count honors BMT_FETCH_WORKERS (see
+    `_fetch_workers`)."""
+    if workers is None:
+        workers = _fetch_workers()
     np_dtype = np.dtype(np_dtype)
     if hasattr(arr, 'astype') and np_dtype.itemsize < arr.dtype.itemsize:
         arr = arr.astype(np_dtype)
