@@ -63,6 +63,22 @@ def device_histogram(x, n_buckets=64):
             'n_nonfinite': n_bad}
 
 
+def _sync_pipelines():
+    """BMT_SYNC_FETCH=1 runs the async metric/checkpoint lanes INLINE on
+    the training thread: no background fetch thread ever touches the
+    device runtime while the training thread dispatches programs, and
+    every device->host transfer happens with the device otherwise idle
+    (an inline fetch blocks until its producing program completes, and
+    the next program is only dispatched afterwards).  This is the
+    reliability mode for fragile remote-attached workers: the tunneled
+    dev chip's worker process was observed to die specifically while a
+    64-epoch block executed WITH a background readback in flight --
+    serializing the streams (BMT_FETCH_WORKERS=1) was not sufficient,
+    removing the cross-thread overlap is.  Costs one link round trip of
+    stall per metric drain / checkpoint instead of overlapping it."""
+    return os.environ.get('BMT_SYNC_FETCH', '') not in ('', '0')
+
+
 def _fetch_workers(default=4):
     """Concurrent device->host stream count.  BMT_FETCH_WORKERS=1
     serializes every fetch: concurrent readback streams are a measured
@@ -159,8 +175,13 @@ class MetricsPipeline(object):
 
     def submit(self, arrays, consume):
         """Queue `arrays` (device arrays) for fetching; `consume(fetched)`
-        runs on the worker once they arrive."""
+        runs on the worker once they arrive.  Under BMT_SYNC_FETCH the
+        fetch and consume run inline on the calling thread instead (see
+        `_sync_pipelines`)."""
         self._check()
+        if _sync_pipelines():
+            consume(fetch_many(*arrays))
+            return
         if self._thread is None:
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
@@ -269,8 +290,13 @@ class AsyncEpochWriter(object):
     def submit(self, fn, heavy=False, force=False):
         """Queue ``fn`` for the worker.  Returns True if accepted; False
         if it was a non-forced heavy item dropped because another heavy
-        item is still queued or running."""
+        item is still queued or running.  Under BMT_SYNC_FETCH ``fn``
+        runs inline on the calling thread (always accepted: nothing can
+        be in flight, see `_sync_pipelines`)."""
         self._check()
+        if _sync_pipelines():
+            fn()
+            return True
         if heavy:
             with self._lock:
                 if self._heavy_in_flight and not force:

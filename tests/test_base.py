@@ -143,6 +143,52 @@ def test_async_epoch_writer_drops_heavy_under_backpressure():
     assert not aw.heavy_busy()
 
 
+def test_sync_fetch_mode_runs_inline(monkeypatch, tiny_data, tmp_path):
+    """BMT_SYNC_FETCH=1: both async lanes run inline on the calling thread
+    (no background device touches -- the reliability mode for fragile
+    remote workers), heavy submissions are never dropped, and a full fit
+    with per-epoch checkpoints still round-trips."""
+    import threading
+    import numpy as np
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.base.jax_model import (AsyncEpochWriter,
+                                                       MetricsPipeline)
+
+    monkeypatch.setenv('BMT_SYNC_FETCH', '1')
+    main = threading.get_ident()
+    ran_on = []
+
+    aw = AsyncEpochWriter()
+    assert aw.submit(lambda: ran_on.append(threading.get_ident()),
+                     heavy=True)
+    # inline: already executed, nothing in flight, next heavy accepted
+    assert ran_on == [main]
+    assert not aw.heavy_busy()
+    assert aw.submit(lambda: ran_on.append(threading.get_ident()),
+                     heavy=True)
+    assert ran_on == [main, main]
+    assert aw.n_dropped == 0
+    aw.join()
+
+    mp = MetricsPipeline()
+    got = []
+    mp.submit([np.arange(3.)], lambda fetched: got.append(
+        (threading.get_ident(), [np.asarray(a) for a in fetched])))
+    assert got and got[0][0] == main
+    np.testing.assert_array_equal(got[0][1][0], np.arange(3.))
+    mp.join()
+
+    X, _ = tiny_data
+    rbm = BernoulliRBM(n_visible=12, n_hidden=8, max_epoch=3, batch_size=8,
+                       random_seed=1, verbose=False,
+                       save_after_each_epoch=True, checkpoint_every_epoch=1,
+                       metrics_config=dict(msre=True),
+                       model_path=str(tmp_path) + '/')
+    rbm.fit(X)
+    loaded = BernoulliRBM.load_model(str(tmp_path) + '/')
+    assert loaded.epoch_ == 3
+
+
 def test_checkpoint_payload_snapshot(tiny_data, tmp_path):
     """The checkpoint metadata passed to the async worker reflects the epoch
     it was captured at, even if attributes advance afterwards."""
