@@ -63,6 +63,15 @@ def device_histogram(x, n_buckets=64):
             'n_nonfinite': n_bad}
 
 
+#: flipped by `degrade_to_sync` after a detected device-link failure --
+#: the whole process then behaves as if BMT_SYNC_FETCH=1 (and
+#: BMT_FETCH_WORKERS=1) had been set up front.  Process-global on
+#: purpose: a fragile link is a property of the attached device, not of
+#: one model instance, and multi-stage pipelines (e.g. dbm_cifar) train
+#: several models over the same link.
+_FORCED_SYNC = False
+
+
 def _sync_pipelines():
     """BMT_SYNC_FETCH=1 runs the async metric/checkpoint lanes INLINE on
     the training thread: no background fetch thread ever touches the
@@ -75,8 +84,57 @@ def _sync_pipelines():
     64-epoch block executed WITH a background readback in flight --
     serializing the streams (BMT_FETCH_WORKERS=1) was not sufficient,
     removing the cross-thread overlap is.  Costs one link round trip of
-    stall per metric drain / checkpoint instead of overlapping it."""
-    return os.environ.get('BMT_SYNC_FETCH', '') not in ('', '0')
+    stall per metric drain / checkpoint instead of overlapping it.
+
+    Also turned on automatically for the rest of the process by
+    `degrade_to_sync` when a fit loop catches a device-link failure
+    (dead remote worker / stalled transfer), so operators no longer have
+    to know the env knob in advance."""
+    return _FORCED_SYNC or \
+        os.environ.get('BMT_SYNC_FETCH', '') not in ('', '0')
+
+
+# substrings (lowercased) that identify a device-link / remote-worker
+# failure as opposed to an ordinary Python error: gRPC/stream-executor
+# status words and the socket-level failures seen when the tunneled TPU
+# worker process dies mid-run.  Deliberately conservative -- a false
+# positive costs one pointless retry, a false negative only loses the
+# auto-downgrade (the env knobs still work).
+_LINK_FAILURE_MARKERS = (
+    'unavailable', 'deadline exceeded', 'deadline_exceeded',
+    'socket closed', 'connection reset', 'connection refused',
+    'broken pipe', 'failed to connect', 'transport closed',
+    'end of stream', 'premature end', 'heartbeat',
+    'worker crashed', 'worker exited', 'device or resource busy',
+    'failed precondition: device', 'internal: failed to complete',
+)
+
+
+def _is_link_failure(exc):
+    """Heuristic: does this exception look like the device link / remote
+    worker died (retryable after a downgrade) rather than a bug?"""
+    parts = [type(exc).__name__, str(exc)]
+    cause = getattr(exc, '__cause__', None)
+    if cause is not None:
+        parts += [type(cause).__name__, str(cause)]
+    msg = ' '.join(parts).lower()
+    if 'xlaruntimeerror' in msg or 'rpcerror' in msg:
+        return True
+    return any(m in msg for m in _LINK_FAILURE_MARKERS)
+
+
+def degrade_to_sync(reason):
+    """Flip the process into the fragile-link reliability mode (inline
+    pipelines + serialized fetch streams) and say so once.  Idempotent."""
+    global _FORCED_SYNC
+    if _FORCED_SYNC:
+        return
+    _FORCED_SYNC = True
+    import sys
+    sys.stderr.write(
+        'WARNING: device-link failure detected (%s); downgrading to '
+        'synchronous inline fetch for the rest of the process '
+        '(equivalent to BMT_SYNC_FETCH=1 BMT_FETCH_WORKERS=1)\n' % reason)
 
 
 def _fetch_workers(default=4):
@@ -86,6 +144,8 @@ def _fetch_workers(default=4):
     while a large program is executing (observed on the tunneled dev
     chip during 64-epoch block programs with ~184 MB state fetches in
     flight)."""
+    if _FORCED_SYNC:
+        return 1
     try:
         return max(1, int(os.environ.get('BMT_FETCH_WORKERS', default)))
     except ValueError:
@@ -180,6 +240,13 @@ class MetricsPipeline(object):
         `_sync_pipelines`)."""
         self._check()
         if _sync_pipelines():
+            # mid-run downgrade (degrade_to_sync / env toggle): drain any
+            # queued items FIRST so inline work can never run before or
+            # interleave with earlier queued epochs -- submission order is
+            # the consume-ordering contract (advisor round 4).  Inline
+            # consume exceptions deliberately propagate here: they are
+            # synchronous by construction.
+            self.join()
             consume(fetch_many(*arrays))
             return
         if self._thread is None:
@@ -295,6 +362,9 @@ class AsyncEpochWriter(object):
         be in flight, see `_sync_pipelines`)."""
         self._check()
         if _sync_pipelines():
+            # drain queued items first: work must never run out of
+            # submission order across a mid-run downgrade (advisor round 4)
+            self.join()
             fn()
             return True
         if heavy:
@@ -561,6 +631,95 @@ class JAXModel(BaseModel, DtypeMixin):
         return True
 
     def _fit_epoch_blocks(self, full, rem, staged_val, aw, mp, kind='xla'):
+        """Fault-tolerant wrapper around the block-dispatch fit loop: a
+        device-link failure (dead remote worker, stalled fetch) downgrades
+        the process to synchronous inline fetch (`degrade_to_sync`),
+        reloads the last on-disk checkpoint, and retries the remaining
+        blocks -- so a fragile tunneled device degrades throughput instead
+        of killing multi-hour composite runs (the 490k-row dbm_cifar
+        G-RBM stage died repeatedly to exactly this before the knob
+        existed).  Non-link exceptions propagate unchanged.  Bounded by
+        BMT_LINK_RETRIES (default 2) with BMT_LINK_RETRY_BACKOFF-second
+        sleeps (default 15) to let a crashed worker/tunnel come back."""
+        try:
+            retries = max(0, int(os.environ.get('BMT_LINK_RETRIES', 2)))
+        except ValueError:
+            retries = 2
+        try:
+            backoff = float(os.environ.get('BMT_LINK_RETRY_BACKOFF', 15))
+        except ValueError:
+            backoff = 15.
+        attempt = 0
+        while True:
+            try:
+                return self._run_epoch_blocks(full, rem, staged_val, aw,
+                                              mp, kind)
+            except BaseException as e:
+                if attempt >= retries or not _is_link_failure(e):
+                    raise
+                attempt += 1
+                self._recover_from_link_failure(aw, mp, e, attempt,
+                                                backoff)
+                if self.epoch_ >= self.max_epoch:
+                    return None
+
+    def _recover_from_link_failure(self, aw, mp, exc, attempt, backoff):
+        """Post-link-failure recovery: downgrade to inline fetch, drain
+        the async lanes (swallowing secondary link errors -- the primary
+        is what we are recovering from), wait out the backoff, and reload
+        the last complete checkpoint so the retry resumes exactly the
+        trajectory a fresh-process resume would (random_state.json +
+        model.npz + params.json epoch/iter)."""
+        import sys
+        import time
+        import traceback
+        degrade_to_sync('%s during epoch block (attempt %d)'
+                        % (type(exc).__name__, attempt))
+        sys.stderr.write('link-failure recovery: %s\n' % ''.join(
+            traceback.format_exception_only(type(exc), exc)))
+        for lane in (mp, aw):
+            try:
+                lane.join()
+            except BaseException as e2:
+                sys.stderr.write('link-failure recovery: discarding '
+                                 'pending lane error: %r\n' % (e2,))
+        if backoff > 0:
+            time.sleep(backoff)
+        if self._reload_last_checkpoint():
+            sys.stderr.write('link-failure recovery: resuming from '
+                             'checkpoint at epoch %d (iter %d)\n'
+                             % (self.epoch_, self.iter_))
+        else:
+            sys.stderr.write('link-failure recovery: no checkpoint on '
+                             'disk; retrying from the in-memory state at '
+                             'epoch %d\n' % self.epoch_)
+
+    def _reload_last_checkpoint(self):
+        """Restore params/rng/state from the model dir in place (the
+        in-fit twin of `load_model`).  Returns True if a complete
+        checkpoint (params.json commit marker + model.npz) was loaded."""
+        npz_path = self._model_filepath + '.npz'
+        if not (os.path.isfile(self._params_filepath)
+                and os.path.isfile(npz_path)):
+            return False
+        with open(self._params_filepath, 'r') as f:
+            params = json.load(f)
+        params.pop('__class_name__', None)
+        params = self._deserialize(params)
+        self.set_params(**params)
+        if os.path.isfile(self._random_state_filepath):
+            with open(self._random_state_filepath, 'r') as f:
+                self._rng.set_state(json.load(f))
+        with np.load(npz_path) as data:
+            self._set_state_arrays({k: data[k] for k in data.files})
+        # re-derive the fit key the way a fresh-process resume would:
+        # make_prng_key consumes from the just-restored host RNG, so the
+        # retried trajectory is bitwise the resume trajectory
+        if hasattr(self, '_fit_key'):
+            self._fit_key = self.make_prng_key()
+        return True
+
+    def _run_epoch_blocks(self, full, rem, staged_val, aw, mp, kind='xla'):
         """Block-dispatch fit loop.  `kind` selects the in-block epoch
         engine: 'xla' (single-device lax scan), 'pallas' (fused epoch
         kernel), or 'shardmap' (mesh epoch with psum'd statistics).
@@ -597,7 +756,9 @@ class JAXModel(BaseModel, DtypeMixin):
                         if bar is not None:
                             bar.close()
                             bar = None
-                        return self._fit_epoch_blocks(full, rem, staged_val,
+                        # direct call (not the retry wrapper): the caller's
+                        # wrapper already guards this whole run
+                        return self._run_epoch_blocks(full, rem, staged_val,
                                                       aw, mp)
                     sched = self._epoch_seeds(self._fit_key, epochs) \
                         if kind == 'pallas' else ks

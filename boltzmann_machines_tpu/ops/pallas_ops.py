@@ -182,6 +182,83 @@ def _multinomial_sample_bits(means, n_samples):
                        precision=jax.lax.Precision.HIGHEST)
 
 
+def _free_energy_sum(Xv, act, vbn, hbn, sigma_row, visible, hidden, h_hat):
+    """Batch-SUM free energy used by the epoch kernel's PLL block; the
+    formulas mirror rbm/rbm.py `_free_energy` (reference rbm.py:17-22,
+    50-60, 109-116) with two in-kernel conventions: gaussian inputs are
+    already sigma-divided (vb raw), and the multinomial log-coefficient
+    constant is omitted (it cancels in the fe_flipped - fe difference).
+    `act` is Xv @ W; `h_hat` is the caller-drawn multinomial count vector
+    (None for bernoulli hidden).  Module-level so the interpret-mode
+    goldens can pin it numerically against the XLA `_free_energy`
+    (tests/test_pallas_ops.py)."""
+    f32 = jnp.float32
+    if visible == 'gaussian':
+        d = Xv - vbn / sigma_row
+        t_vis = 0.5 * jnp.sum(d * d)
+    else:
+        t_vis = -jnp.sum(Xv * vbn)
+    if hidden == 'multinomial':
+        t_hid = -jnp.sum(act * h_hat)
+    else:
+        t_hid = -jnp.sum(jax.nn.softplus(act + hbn))
+    return (t_vis + t_hid).astype(f32)
+
+
+def make_free_energy_probe(n_visible, n_hidden, batch_size, visible,
+                           hidden, n_samples=None, interpret=False):
+    """Standalone pallas_call evaluating the kernel-side batch-MEAN free
+    energy on given (X, W, vb, hb, sigma) -- the exact code path the
+    fused PLL uses, exposed for numeric goldens.  Multinomial hidden
+    draws its Monte-Carlo count vector from the in-kernel PRNG seeded
+    with `seed` (pass different seeds for independent MC evaluations)."""
+    V, H, B = n_visible, n_hidden, batch_size
+    f32 = jnp.float32
+
+    def kern(seed_ref, x_ref, W_ref, vb_ref, hb_ref, sigma_ref, fe_o,
+             hhat_o):
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        X = x_ref[:]
+        act = jnp.dot(X, W_ref[:], preferred_element_type=f32)
+        h_hat = None
+        if hidden == 'multinomial':
+            h_hat = _multinomial_sample_bits(
+                jnp.full((1, H), f32(n_samples) / f32(H), f32), n_samples)
+            hhat_o[:] = h_hat
+        else:
+            hhat_o[:] = jnp.zeros((1, H), f32)
+        fe = _free_energy_sum(X, act, vb_ref[:], hb_ref[:], sigma_ref[:],
+                              visible, hidden, h_hat) / f32(B)
+        fe_o[:] = jnp.full((1, 128), fe, dtype=f32)
+
+    def probe(X, W, vb, hb, sigma, seed):
+        """-> (batch-mean FE, drawn h_hat counts).  Exposing the draw lets
+        CPU goldens pin the FE exactly GIVEN the draw -- interpret-mode
+        `prng_seed` is a no-op (fixed stream), so seeded variation only
+        exists on real TPU."""
+        seeds = jnp.stack([jnp.asarray(seed, jnp.uint32),
+                           jnp.zeros((), jnp.uint32)])
+        fe, hh = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                     [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((1, 128), f32),
+                       jax.ShapeDtypeStruct((1, H), f32)),
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(seeds, jnp.asarray(X, f32), jnp.asarray(W, f32),
+          jnp.asarray(vb, f32).reshape(1, V),
+          jnp.asarray(hb, f32).reshape(1, H),
+          jnp.broadcast_to(jnp.asarray(
+              1. if sigma is None else sigma, f32).reshape(1, -1),
+              (1, V)).astype(f32))
+        return fe[0, 0], hh[0]
+
+    return probe
+
+
 def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                      W_in, vb_in, hb_in, dW_in, dvb_in, dhb_in, q_in,
                      W_o, vb_o, hb_o, dW_o, dvb_o, dhb_o, q_o,
@@ -331,27 +408,23 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
             # rbm/rbm.py _free_energy (reference rbm.py:17-22, 50-60,
             # 109-116); like the XLA _pll they apply NO dbm doubling.
             def fe_of(Xv):
-                if visible == 'gaussian':
-                    # inputs are already sigma-divided; vb is raw
-                    d = Xv - vbn / sigma_ref[:]
-                    t_vis = 0.5 * jnp.sum(d * d)
-                else:
-                    t_vis = -jnp.sum(Xv * vbn)
                 act = jnp.dot(Xv, Wn, preferred_element_type=f32)
+                h_hat = None
                 if hidden == 'multinomial':
                     # Monte-Carlo FE: one fresh uniform-multinomial count
                     # vector per evaluation (the XLA path draws per call
-                    # too); the log multinomial-coefficient constant
-                    # cancels in the fe_f - fe difference, so it is
-                    # omitted here.
+                    # too).  Independent draws for fe(x) and fe(x_flipped)
+                    # make the logged PLL sampler-variance dominated -- a
+                    # DELIBERATE parity choice mirroring the reference
+                    # MultinomialRBM._free_energy (two independent sample
+                    # ops, rbm.py:50-60); reusing one draw would be less
+                    # noisy but a semantic divergence (advisor round 4).
                     Hn = hbn.shape[1]
                     h_hat = _multinomial_sample_bits(
                         jnp.full((1, Hn), f32(n_samples) / f32(Hn), f32),
                         n_samples)
-                    t_hid = -jnp.sum(act * h_hat)
-                else:
-                    t_hid = -jnp.sum(jax.nn.softplus(act + hbn))
-                return (t_vis + t_hid) / Nf
+                return _free_energy_sum(Xv, act, vbn, hbn, sigma_ref[:],
+                                        visible, hidden, h_hat) / Nf
 
             fe = fe_of(X)
             fe_f = fe_of(Xf)
@@ -767,6 +840,12 @@ def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
     # positive phase
     h_pass(X, h0m)
     hst[:] = bern(h0m[:]) if sample_h_states else h0m[:]
+
+    # k=0 degenerate case: the chain loop never runs, so the negative
+    # phase must equal the positive one (zero gradient) instead of
+    # reading uninitialized VMEM scratch (advisor round 4, medium)
+    hm[:] = h0m[:]
+    vst[:] = X
 
     # CD-k chain
     v_means_last = X

@@ -512,15 +512,27 @@ class BaseRBM(EnergyBasedModel):
     def _pallas_stats_eligible(self, local_batch):
         """'resident' (W + assoc VMEM-resident), 'tiled' (W HBM-streamed
         through (V, tile) buffers -- big models, e.g. the 3072x7800 CIFAR
-        G-RBM on a mesh), or None (fall back to the lax stats body)."""
+        G-RBM on a mesh), or None (fall back to the lax stats body).
+
+        BMT_FORCE_PALLAS_STATS=resident|tiled overrides the backend and
+        VMEM checks (the layer-type constraints still apply): on a
+        non-TPU backend the kernels then run in interpret mode, which is
+        how the CPU-mesh tests and `dryrun_multichip` exercise
+        tiled-stats + psum + update as ONE shard_map program."""
         from ..layers import BernoulliLayer
-        if self.kernel == 'xla' or jax.default_backend() != 'tpu':
+        forced = os.environ.get('BMT_FORCE_PALLAS_STATS', '')
+        if forced not in ('resident', 'tiled'):
+            forced = None
+        if self.kernel == 'xla' or \
+                (forced is None and jax.default_backend() != 'tpu'):
             return None
         kind, _ = self._pallas_visible_kind()
         if kind is None or not isinstance(self._h_layer, BernoulliLayer):
             return None
         if self.dtype != 'float32' or self.dropout is not None:
             return None
+        if forced is not None:
+            return forced
         # VMEM: W + assoc (V,H each) + the local batch tile + ~6
         # batch-sized intermediates
         vmem = (2 * self.n_visible * self.n_hidden * 4
@@ -528,9 +540,13 @@ class BaseRBM(EnergyBasedModel):
         if vmem <= 96 * 1024 * 1024:
             return 'resident'
         tile = 512
+        # the kernel pads H up to a lane multiple and keeps small extra
+        # buffers (hb/dhb/hsum rows, output tiles); estimate with the
+        # PADDED H so the 10 MB headroom vs the kernel's 110 MB
+        # vmem_limit_bytes stays honest (advisor round 4)
+        h_pad = ((self.n_hidden + 127) // 128) * 128
         scratch = (4 * self.n_visible * tile * 4
-                   + local_batch * (4 * self.n_visible
-                                    + 3 * self.n_hidden) * 4)
+                   + local_batch * (4 * self.n_visible + 3 * h_pad) * 4)
         if scratch <= 100 * 1024 * 1024:
             return 'tiled'
         return None
@@ -567,7 +583,10 @@ class BaseRBM(EnergyBasedModel):
                 sample_h_states=self.sample_h_states,
                 propup_mult=self._propup_multiplier,
                 propdown_mult=self._propdown_multiplier,
-                visible=kind, sigma=sigma)
+                visible=kind, sigma=sigma,
+                # forced eligibility on a non-TPU backend (CPU-mesh tests,
+                # dryrun_multichip) runs the kernel in interpret mode
+                interpret=(jax.default_backend() != 'tpu'))
 
         # metrics that can never fire (cadence beyond any real run) are
         # compiled OUT: no per-step cond, no key folds the stats kernel
