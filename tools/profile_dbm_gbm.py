@@ -54,6 +54,10 @@ def main():
     ap.add_argument('--trace-dir', default=None)
     ap.add_argument('--batch', type=int, default=100)
     ap.add_argument('--sizes', type=int, nargs=3, default=(3072, 5000, 1000))
+    ap.add_argument('--mf-cap', type=int, default=50,
+                    help='max_mf_updates; the trained dbm_cifar_naive '
+                         'joint stage runs in the fast-MF regime (n_mf=2),'
+                         ' so --mf-cap 2 measures the stage-relevant step')
     args = ap.parse_args()
 
     import jax
@@ -77,7 +81,7 @@ def main():
     r1._ensure_state()
     r2._ensure_state()
     dbm = DBM(rbms=[r1, r2], n_particles=B, n_gibbs_steps=1,
-              max_mf_updates=50, mf_tol=1e-11, learning_rate=2e-4,
+              max_mf_updates=args.mf_cap, mf_tol=1e-11, learning_rate=2e-4,
               momentum=0.5, max_epoch=1, batch_size=B, max_norm=4.,
               random_seed=3, verbose=False, save_after_each_epoch=False,
               model_path='/tmp/prof_dbm/')
