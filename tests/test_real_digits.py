@@ -109,6 +109,56 @@ def test_finetune_warm_start_beats_random_init(digits, trained_rbm):
     assert warm > cold
 
 
+def test_semi_supervised_labeled_subsets(digits, trained_rbm):
+    """Reference README.md:170-175 mechanics on real data: pretrain the
+    generative model on the full *unlabeled* corpus, then fine-tune a
+    classifier on shrinking labeled subsets, warm-started from the RBM
+    weights vs. randomly initialized.  The reference's MNIST table shows
+    the warm-start gain growing as labels shrink (+0.53% at 60k labels ->
+    +5.68% at 100 labels); on the bundled 1,437 real training digits the
+    same mechanics must hold: warm >= cold on every subset, with a
+    strictly positive gain once labels are scarce.
+
+    Measured (seed 1):
+      labels  warm    cold    gain
+      1437    0.9194  0.9111  +0.8%
+       320    0.8778  0.8333  +4.4%
+       128    0.8611  0.7861  +7.5%
+    """
+    X_train, X_test, y_train, y_test = digits
+    w = trained_rbm.get_params_arrays('weights')
+
+    def accuracy(n_labels, warm, batch_size):
+        # stratified labeled subset, 80/20 train/val split
+        if n_labels >= len(X_train):
+            Xs, ys = X_train, y_train
+        else:
+            Xs, _, ys, _ = train_test_split(
+                X_train, y_train, train_size=n_labels, random_state=11,
+                stratify=y_train)
+        n_val = max(n_labels // 5, 20)
+        Xt, Xv, yt, yv = train_test_split(Xs, ys, test_size=n_val,
+                                          random_state=7, stratify=ys)
+        layers = [dict(units=256, activation='sigmoid',
+                       weights=(w['W'], w['hb']) if warm else None,
+                       lr_multiplier=0.01 if warm else 1.)]
+        mlp = MLPClassifier(n_inputs=64, layers=layers, n_classes=10,
+                            max_epoch=100, batch_size=batch_size,
+                            random_seed=1, verbose=False)
+        mlp.fit(Xt, yt, Xv, yv)
+        return float((mlp.predict(X_test) == y_test).mean())
+
+    gains = {}
+    for n_labels, batch_size in [(len(X_train), 64), (320, 32), (128, 16)]:
+        warm = accuracy(n_labels, True, batch_size)
+        cold = accuracy(n_labels, False, batch_size)
+        gains[n_labels] = warm - cold
+        assert warm >= cold - 0.005, (n_labels, warm, cold)
+    # scarce-label regime: pretraining must deliver a real gain
+    assert gains[320] > 0.01, gains
+    assert gains[128] > 0.02, gains
+
+
 def test_dbm_generative_stack_beats_independent_baseline(digits,
                                                          tmp_path_factory):
     """Full generative stack on real data: greedy pretraining -> joint
