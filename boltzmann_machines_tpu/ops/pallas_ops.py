@@ -1189,7 +1189,14 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
             scratch_shapes=[pltpu.SemaphoreType.DMA((7,))],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=('arbitrary',),
-                vmem_limit_bytes=100 * 1024 * 1024,
+                # 120 MiB of the v5e's 128 MiB: the multinomial-hidden
+                # PLL block measures 114.7 MiB scoped at the reference
+                # M-RBM stage shape (5000x1000, batch 100) -- the default
+                # 100 MiB cap made that exact config a compile-time OOM
+                # (observed round 5); eligibility gating in
+                # rbm/base_rbm.py keeps genuinely bigger models off this
+                # kernel.
+                vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=(pltpu.InterpretParams() if interpret else False),
         )(scalars, sched, X_batches, jnp.asarray(sigma_arr), *in_state)

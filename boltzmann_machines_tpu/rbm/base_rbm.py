@@ -868,7 +868,20 @@ class BaseRBM(EnergyBasedModel):
         if hid == 'multinomial':
             vmem += 2 * self.n_hidden * self.n_hidden * 4 \
                 + self.batch_size * self.n_hidden * 4
-        if vmem <= 96 * 1024 * 1024:
+        # Mosaic's scoped-VMEM allocation runs well above this naive sum
+        # for the multinomial-PLL variant (the PLL block instantiates its
+        # own triangular/shift matrices plus flip temporaries, and the
+        # allocator double-buffers across the metric branch): measured
+        # 114.7 MiB scoped vs 55 MiB naive at the reference M-RBM stage
+        # shape (5000x1000, batch 100), which compile-OOMed under the old
+        # 100 MiB kernel cap.  The kernel cap is now 120 MiB
+        # (ops/pallas_ops.py); gate multinomial-with-PLL configs at the
+        # naive budget that calibration point maps to, so bigger configs
+        # fall back to XLA instead of failing AOT compilation.
+        budget = (58 if (hid == 'multinomial'
+                         and self.metrics_config['pll'])
+                  else 96) * 1024 * 1024
+        if vmem <= budget:
             return make_cd_epoch_kernel(
                 self.n_visible, self.n_hidden, self.batch_size, k,
                 compute_pll=bool(self.metrics_config['pll']),
