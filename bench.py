@@ -104,7 +104,7 @@ def _emit_failure(reason):
         'vs_baseline': None,
         'backend_unavailable': True,
         'error': reason[:2000],
-        'last_green': 'BENCH_r02: 11.3M samples/s (462x ref-config)',
+        'last_green': 'round 5 session: 11.8M samples/s (542x ref-config)',
     }), flush=True)
 
 

@@ -908,3 +908,36 @@ def test_gaussian_pll_numeric_golden(tmp_path):
     # discrimination: the combo lattice is not so dense the match is
     # vacuous (median spacing around the matched value >> tolerance)
     assert np.median(dist) > 5e-2
+
+
+def test_multinomial_pll_vmem_gate(tmp_path):
+    """Selection-logic regression for the round-5 compile-time VMEM OOM:
+    the reference M-RBM stage config (5000x1000, n_samples=1000, batch
+    100, PLL logged -- reference dbm_cifar_naive.py:117-156) must pick
+    the resident fused kernel (its measured 114.7 MiB scoped fits the
+    raised 120 MiB cap), while a multinomial-with-PLL config whose naive
+    VMEM estimate exceeds the calibrated 58 MiB budget must return None
+    (XLA fallback) instead of building a kernel that fails AOT
+    compilation on-device.  Pure program selection -- runs on any
+    backend."""
+    from boltzmann_machines_tpu import MultinomialRBM
+
+    def mrbm(n_hidden, pll, sub):
+        m = MultinomialRBM(n_visible=5000, n_hidden=n_hidden,
+                           n_samples=1000, batch_size=100, verbose=False,
+                           metrics_config=dict(msre=True, pll=pll,
+                                               train_metrics_every_iter=400),
+                           model_path=str(tmp_path) + '/%s/' % sub)
+        return m
+
+    # exact stage config: resident fused kernel (not None)
+    assert mrbm(1000, True, 'stage')._pallas_epoch_program(1, 128) is not None
+    # same shape without PLL: still resident under the 96 MiB budget
+    assert mrbm(1000, False, 'nopll')._pallas_epoch_program(1, 128) is not None
+    # bigger multinomial WITH PLL: naive estimate ~73 MiB passes the
+    # plain 96 MiB budget but must fail the calibrated 58 MiB PLL budget
+    # -> XLA fallback, never a compile-time OOM
+    assert mrbm(1300, True, 'big')._pallas_epoch_program(1, 128) is None
+    # ...while the same shape without PLL keeps the resident kernel
+    assert mrbm(1300, False, 'bignopll')._pallas_epoch_program(1, 128) \
+        is not None
