@@ -822,8 +822,12 @@ def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
             nxt = start_w_load(idx + 1) if idx + 1 < n_tiles else None
             cp.wait()
             act = jnp.dot(src, w_buf(idx)[:, :w], preferred_element_type=f32)
+            # slice the bias tile from the REF (offset-0 vector), not the
+            # preloaded (1, H) value: Mosaic fails to lower the broadcast
+            # of a value sliced at a lane offset >= 2 tiles ("Invalid
+            # input layout" on (1, w) -> (B, w), observed on v5e round 5)
             dst_means[:, c0:c0 + w] = jax.nn.sigmoid(
-                up * (act + hb[:, c0:c0 + w]))
+                up * (act + hb_ref[:, c0:c0 + w]))
             cp = nxt
 
     def v_pass(h_src):
@@ -843,9 +847,14 @@ def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
 
     # k=0 degenerate case: the chain loop never runs, so the negative
     # phase must equal the positive one (zero gradient) instead of
-    # reading uninitialized VMEM scratch (advisor round 4, medium)
-    hm[:] = h0m[:]
-    vst[:] = X
+    # reading uninitialized VMEM scratch (advisor round 4, medium).
+    # Statically gated: k is a Python int, and the unconditional
+    # initialization changed Mosaic's layout inference for hm enough to
+    # break lowering of the k>0 path on-chip ("Invalid input layout" on
+    # the hb broadcast, observed round 5).
+    if k == 0:
+        hm[:] = h0m[:]
+        vst[:] = X
 
     # CD-k chain
     v_means_last = X
