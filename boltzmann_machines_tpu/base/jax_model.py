@@ -565,21 +565,37 @@ class JAXModel(BaseModel, DtypeMixin):
         return np.asarray([self._epoch_seed(base_key, int(e))
                            for e in epochs], np.uint32)
 
-    def _device_widen(self, X):
-        """Upload a float16/bfloat16 host array slab-by-slab and widen it to
-        the model dtype ON DEVICE via donated dynamic_update_slice writes.
+    def _device_upload(self, X):
+        """Upload a host array slab-by-slab, casting to the model dtype ON
+        DEVICE via donated dynamic_update_slice writes.
 
-        Float16 -> float32 widening is exact, so results are bitwise-
-        identical to casting on the host first -- but this path skips the
-        2x-larger host copy (multi-GB first-touch page faults cost
-        ~0.4 ms/page in sandboxed VMs, turning a 15 GB `astype` into tens
-        of minutes) and halves the host->device transfer.  Peak HBM is the
-        final array plus one slab (vs final + full narrow copy for a
-        whole-array upload-then-cast)."""
+        Two jobs in one path:
+
+        - **float16/bfloat16 widening.**  Float16 -> float32 widening is
+          exact, so results are bitwise-identical to casting on the host
+          first -- but this path skips the 2x-larger host copy (multi-GB
+          first-touch page faults cost ~0.4 ms/page in sandboxed VMs,
+          turning a 15 GB `astype` into tens of minutes) and halves the
+          host->device transfer.
+        - **bounding single-transfer size.**  The tunneled dev chip's
+          worker crashed repeatedly on the one-shot ~6 GB device_put that
+          staged the 490k-row dbm_cifar G-RBM training set (round 5; the
+          round-4 crashes at ~184 MB *fetches* were the same fragility).
+          Slabs cap any one transfer at BMT_STAGE_SLAB_MB (default 256),
+          and at most a few slabs are in flight at once (one, once the
+          process has degraded to sync mode).
+
+        Peak HBM is the final array plus one slab (vs final + full narrow
+        copy for a whole-array upload-then-cast).  On a link failure the
+        donated destination buffer is lost with the worker, so the retry
+        restarts the whole upload after a backoff (the remote worker
+        auto-restarts in minutes); the process is downgraded to the
+        fragile-link mode first."""
         import jax
         import jax.numpy as jnp
+        slab_bytes = int(os.environ.get('BMT_STAGE_SLAB_MB', '256')) << 20
+        retries = max(0, int(os.environ.get('BMT_STAGE_RETRIES', '3')))
         shape = X.shape
-        out = jnp.zeros(shape, self._jnp_dtype)
         zeros = (0,) * (len(shape) - 1)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -588,10 +604,41 @@ class JAXModel(BaseModel, DtypeMixin):
                 o, slab.astype(self._jnp_dtype), (i,) + zeros)
 
         row_bytes = int(np.prod(shape[1:], dtype=np.int64)) * X.dtype.itemsize
-        slab_rows = max(1, int((256 << 20) // max(row_bytes, 1)))
-        for i in range(0, shape[0], slab_rows):
-            out = upd(out, jnp.asarray(X[i:i + slab_rows]), i)
-        return out
+        slab_rows = max(1, int(slab_bytes // max(row_bytes, 1)))
+
+        def attempt_upload():
+            # sync cadence bounds in-flight transfers: the host loop
+            # otherwise enqueues every slab ahead of execution, recreating
+            # the oversized-burst failure mode slabbing exists to avoid
+            inflight = 1 if (_FORCED_SYNC or _sync_pipelines()) else 4
+            out = jnp.zeros(shape, self._jnp_dtype)
+            for n, i in enumerate(range(0, shape[0], slab_rows)):
+                out = upd(out, jnp.asarray(X[i:i + slab_rows]), i)
+                if (n + 1) % inflight == 0:
+                    jax.block_until_ready(out)
+            return jax.block_until_ready(out)
+
+        for attempt in range(retries + 1):
+            try:
+                return attempt_upload()
+            except Exception as e:  # noqa: BLE001 -- classified below
+                if attempt >= retries or not _is_link_failure(e):
+                    raise
+                degrade_to_sync('%s during staging upload (attempt %d)'
+                                % (type(e).__name__, attempt + 1))
+                import sys
+                import time
+                backoff = float(os.environ.get(
+                    'BMT_STAGE_RETRY_BACKOFF', '90')) * (attempt + 1)
+                sys.stderr.write(
+                    'staging upload failed (%s); retrying whole upload in '
+                    '%.0f s (attempt %d/%d)\n'
+                    % (type(e).__name__, backoff, attempt + 1, retries))
+                time.sleep(backoff)
+
+    # backward-compatible alias (the widening path predates the general
+    # slab-staged upload)
+    _device_widen = _device_upload
 
     def _constant_k_runs(self, e0, e1):
         """Split (e0, e1] into maximal runs of constant gibbs-k (the fused

@@ -330,7 +330,13 @@ class DBM(EnergyBasedModel):
         if self._mesh is None:
             if getattr(X, 'dtype', None) == np.float16 \
                     and self._np_dtype == np.float32:
-                return self._device_widen(np.ascontiguousarray(X))
+                return self._device_upload(np.ascontiguousarray(X))
+            X = np.asarray(X)
+            if X.nbytes > (int(os.environ.get('BMT_STAGE_SLAB_MB', '256'))
+                           << 20):
+                # slab-staged upload: one multi-GB device_put crashes the
+                # tunneled worker (see JAXModel._device_upload)
+                return self._device_upload(X)
             return jnp.asarray(X, dtype=self._jnp_dtype)
         X = jnp.asarray(X, dtype=self._jnp_dtype)
         from jax.sharding import NamedSharding, PartitionSpec as P

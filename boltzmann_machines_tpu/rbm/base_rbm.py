@@ -950,7 +950,7 @@ class BaseRBM(EnergyBasedModel):
 
         float16 inputs to a float32 model stay narrow on the host: the
         exact f16->f32 widening happens on device during staging
-        (`_put` -> `JAXModel._device_widen`), skipping the 2x-larger host
+        (`_put` -> `JAXModel._device_upload`), skipping the 2x-larger host
         copy and halving the upload -- bitwise-identical results."""
         X = np.asarray(X)
         if X.dtype == np.float16 and self._np_dtype == np.float32:
@@ -973,7 +973,13 @@ class BaseRBM(EnergyBasedModel):
         if self._mesh is None:
             if getattr(X, 'dtype', None) == np.float16 \
                     and self._np_dtype == np.float32:
-                return self._device_widen(np.ascontiguousarray(X))
+                return self._device_upload(np.ascontiguousarray(X))
+            X = np.asarray(X)
+            if X.nbytes > (int(os.environ.get('BMT_STAGE_SLAB_MB', '256'))
+                           << 20):
+                # slab-staged upload: one multi-GB device_put crashes the
+                # tunneled worker (see JAXModel._device_upload)
+                return self._device_upload(X)
             return jnp.asarray(X, dtype=self._jnp_dtype)
         X = jnp.asarray(X, dtype=self._jnp_dtype)
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -193,6 +193,65 @@ def test_recorded_fetch_error_surfaces_and_recovers(X, tmp_model_dir):
     assert jm._FORCED_SYNC
 
 
+def test_chunked_staging_bitwise(X, tmp_model_dir, monkeypatch):
+    """Slab-staged uploads (forced via a tiny BMT_STAGE_SLAB_MB) stage
+    bitwise-identical batches to the direct single-transfer path.  (The
+    one-shot ~6 GB device_put that staged the dbm_cifar G-RBM training
+    set crashed the tunneled worker; large arrays now stream in slabs.)"""
+    import jax.numpy as jnp
+    rbm = BernoulliRBM(model_path=tmp_model_dir + 'slab/', **CONFIG)
+    monkeypatch.setenv('BMT_STAGE_SLAB_MB', '0')  # 1 row per slab
+    full, rem, n_full = rbm._stage_batches(X)
+    monkeypatch.delenv('BMT_STAGE_SLAB_MB')
+    ref_full, ref_rem, ref_n = rbm._stage_batches(X)
+    assert n_full == ref_n
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(ref_full))
+    assert (rem is None) == (ref_rem is None)
+    # f16 widening keeps going through the same slab path, exactly
+    Xh = X.astype(np.float16)
+    monkeypatch.setenv('BMT_STAGE_SLAB_MB', '0')
+    wide = rbm._put(Xh)
+    np.testing.assert_array_equal(
+        np.asarray(wide), np.asarray(jnp.asarray(Xh, jnp.float32)))
+
+
+def test_staging_upload_retries_on_link_failure(X, tmp_model_dir,
+                                                monkeypatch, capfd):
+    """A link failure mid-upload restarts the whole slab-staged upload
+    (the donated destination died with the worker) after downgrading the
+    process to sync mode; the retried upload is still bitwise-correct."""
+    import jax
+    rbm = BernoulliRBM(model_path=tmp_model_dir + 'slabfail/', **CONFIG)
+    monkeypatch.setenv('BMT_STAGE_SLAB_MB', '0')
+    monkeypatch.setenv('BMT_STAGE_RETRY_BACKOFF', '0')
+    orig_block = jax.block_until_ready
+    fired = {'n': 0}
+
+    def failing_once(x):
+        if fired['n'] == 0:
+            fired['n'] += 1
+            raise RuntimeError('UNAVAILABLE: socket closed (injected)')
+        return orig_block(x)
+
+    monkeypatch.setattr(jax, 'block_until_ready', failing_once)
+    out = rbm._device_upload(X)
+    assert fired['n'] == 1
+    assert jm._FORCED_SYNC
+    assert 'retrying whole upload' in capfd.readouterr().err
+    np.testing.assert_array_equal(np.asarray(out), X.astype(np.float32))
+
+    # a non-link bug must propagate, not retry
+    jm._FORCED_SYNC = False
+
+    def always_bug(x):
+        raise ValueError('a real bug')
+
+    monkeypatch.setattr(jax, 'block_until_ready', always_bug)
+    with pytest.raises(ValueError, match='a real bug'):
+        rbm._device_upload(X)
+    assert not jm._FORCED_SYNC
+
+
 def test_sync_downgrade_preserves_pipeline_order(monkeypatch):
     """Queued lane items must fully drain before any inline item runs
     when the mode flips mid-run (advisor round 4: ordering contract)."""
