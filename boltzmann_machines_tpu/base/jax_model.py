@@ -565,7 +565,7 @@ class JAXModel(BaseModel, DtypeMixin):
         return np.asarray([self._epoch_seed(base_key, int(e))
                            for e in epochs], np.uint32)
 
-    def _device_upload(self, X):
+    def _device_upload(self, X, cast=True):
         """Upload a host array slab-by-slab, casting to the model dtype ON
         DEVICE via donated dynamic_update_slice writes.
 
@@ -597,11 +597,14 @@ class JAXModel(BaseModel, DtypeMixin):
         retries = max(0, int(os.environ.get('BMT_STAGE_RETRIES', '3')))
         shape = X.shape
         zeros = (0,) * (len(shape) - 1)
+        # cast=False keeps the staged dtype (f16 data too big to widen on
+        # device; consumers widen per batch)
+        out_dtype = self._jnp_dtype if cast else X.dtype
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def upd(o, slab, i):
             return jax.lax.dynamic_update_slice(
-                o, slab.astype(self._jnp_dtype), (i,) + zeros)
+                o, slab.astype(out_dtype), (i,) + zeros)
 
         row_bytes = int(np.prod(shape[1:], dtype=np.int64)) * X.dtype.itemsize
         slab_rows = max(1, int(slab_bytes // max(row_bytes, 1)))
@@ -611,7 +614,7 @@ class JAXModel(BaseModel, DtypeMixin):
             # otherwise enqueues every slab ahead of execution, recreating
             # the oversized-burst failure mode slabbing exists to avoid
             inflight = 1 if (_FORCED_SYNC or _sync_pipelines()) else 4
-            out = jnp.zeros(shape, self._jnp_dtype)
+            out = jnp.zeros(shape, out_dtype)
             for n, i in enumerate(range(0, shape[0], slab_rows)):
                 out = upd(out, jnp.asarray(X[i:i + slab_rows]), i)
                 if (n + 1) % inflight == 0:

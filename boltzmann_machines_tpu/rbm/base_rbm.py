@@ -329,7 +329,15 @@ class BaseRBM(EnergyBasedModel):
 
     def _maybe_dropout(self, key, X):
         """Reference applies dropout to the input placeholder graph-wide
-        (base_rbm.py:417-418), so every consumer sees dropped inputs."""
+        (base_rbm.py:417-418), so every consumer sees dropped inputs.
+
+        Also the single widening point for f16-STAGED data: when the
+        widened training set would not fit HBM (e.g. the 490k x 7800
+        dbm_cifar M-RBM features: 7.65 GB f16 but 15.3 GB f32 on a 16 GB
+        chip), `_put` keeps the staged array f16 and every program widens
+        per-batch here -- f16 -> f32 is exact, so results are bitwise
+        identical to staging wide."""
+        X = X.astype(self._jnp_dtype)
         if self.dropout is None:
             return X
         keep = float(self.dropout)
@@ -784,12 +792,14 @@ class BaseRBM(EnergyBasedModel):
 
     def _transform_scan_program(self):
         """All full batches in one dispatch (python-loop dispatch costs
-        ~ms each on remote TPU backends)."""
-        def fn(state, X_batches, k, key):
+        ~ms each on remote TPU backends).  `i0` offsets the per-batch key
+        folds so a chunked transform (big feature maps, see `transform`)
+        is bitwise-identical to the single-scan dispatch."""
+        def fn(state, X_batches, k, key, i0):
             def body(i, X_batch):
                 return i + 1, self._transform_one(
                     state, X_batch, k, jax.random.fold_in(key, i))
-            _, H = jax.lax.scan(body, 0, X_batches)
+            _, H = jax.lax.scan(body, i0, X_batches)
             return H
         return jax.jit(fn)
 
@@ -973,7 +983,16 @@ class BaseRBM(EnergyBasedModel):
         if self._mesh is None:
             if getattr(X, 'dtype', None) == np.float16 \
                     and self._np_dtype == np.float32:
-                return self._device_upload(np.ascontiguousarray(X))
+                X = np.ascontiguousarray(X)
+                widen_max = float(os.environ.get(
+                    'BMT_STAGE_WIDEN_MAX_GB', '8')) * 1e9
+                if X.nbytes * 2 > widen_max:
+                    # widened array would not fit HBM alongside the run's
+                    # working set -- keep the staged data f16 on device;
+                    # every program widens per-batch in _maybe_dropout
+                    # (exact), and the fused epoch kernels decline
+                    return self._device_upload(X, cast=False)
+                return self._device_upload(X)
             X = np.asarray(X)
             if X.nbytes > (int(os.environ.get('BMT_STAGE_SLAB_MB', '256'))
                            << 20):
@@ -1597,6 +1616,12 @@ class BaseRBM(EnergyBasedModel):
         # kernel='xla' on a mesh, tensor-parallel weights) keep the
         # per-epoch loop below.  BMT_EPOCH_BLOCKS=0 forces the per-epoch
         # loop everywhere (used by the equivalence tests).
+        # f16-staged data (too big to widen on device): the fused epoch
+        # kernels take f32 HBM inputs, so decline them; the XLA programs
+        # widen per batch in _maybe_dropout
+        if use_pallas and full is not None and \
+                full.dtype == jnp.float16:
+            use_pallas = False
         if os.environ.get('BMT_EPOCH_BLOCKS', '1') != '0':
             if use_shardmap:
                 return self._fit_epoch_blocks(full, rem, staged_val, aw,
@@ -1766,9 +1791,23 @@ class BaseRBM(EnergyBasedModel):
         H = np.zeros((len(X), self.n_hidden), dtype=np_dtype)
         if n_full:
             prog = self._program('transform_scan', self._transform_scan_program)
-            H_full = prog(self._state, full, k, key)
-            H[:n_full * self.batch_size] = fetch_as(
-                H_full, np_dtype).reshape(-1, self.n_hidden)
+            # chunk the scan when the full feature map would not fit HBM
+            # next to the staged inputs (490k x 7800 G-RBM features are
+            # 15.3 GB in f32): dispatch fixed-size chunks of batches and
+            # fetch each before the next materializes.  The i0 key offset
+            # keeps chunked == single-scan bitwise.
+            budget = float(os.environ.get(
+                'BMT_TRANSFORM_CHUNK_GB', '2')) * 1e9
+            B = self.batch_size
+            batch_bytes = B * (self.n_hidden + self.n_visible) * 4
+            n_chunk = max(1, min(n_full, int(budget // max(batch_bytes, 1))))
+            for c0 in range(0, n_full, n_chunk):
+                nb = min(n_chunk, n_full - c0)
+                chunk = full if n_full <= n_chunk else \
+                    jax.lax.dynamic_slice_in_dim(full, c0, nb)
+                H_c = prog(self._state, chunk, k, key, c0)
+                H[c0 * B:(c0 + nb) * B] = fetch_as(
+                    H_c, np_dtype).reshape(-1, self.n_hidden)
         if rem is not None:
             prog = self._program('transform', self._transform_program)
             H_b = prog(self._state, rem, k, jax.random.fold_in(key, n_full))

@@ -39,6 +39,21 @@ def stage_cached(dirpath):
     a bare directory can be left behind by an interrupted run."""
     return os.path.isfile(os.path.join(dirpath, 'params.json'))
 
+
+def finish_stage(model, fit_args):
+    """Resume-aware stage loading: a params.json written MID-RUN by
+    checkpoint_every_epoch must neither pass for a finished model nor
+    restart the stage from scratch -- resume training from the loaded
+    epoch (trajectory-identical resume is a framework guarantee,
+    tests/test_rbm.py).  Mirrors the reference's idempotent stage
+    semantics (dbm_mnist.py:48,85,131) extended to partial checkpoints."""
+    if model.epoch_ >= model.max_epoch:
+        return model
+    print('  (partial checkpoint: resuming at epoch %d/%d)'
+          % (model.epoch_, model.max_epoch))
+    model.fit(*fit_args())
+    return model
+
 def load_data(args):
     try:
         X, y = load_cifar10(mode='train', path=args.data_path)
@@ -163,7 +178,7 @@ def make_small_rbms(X_train, X_val, args):
         dirpath = args.small_dirpath_prefix + str(rbm_id) + '/'
         if stage_cached(dirpath):
             print('\nLoading small RBM #{0} ...\n'.format(rbm_id))
-            return GaussianRBM.load_model(dirpath)
+            return finish_stage(GaussianRBM.load_model(dirpath), patches)
         print('\nTraining small RBM #{0} ...\n'.format(rbm_id))
         rbm = GaussianRBM(random_seed=seed, checkpoint_every_epoch=args.checkpoint_every,
                           summaries_every_epoch=args.summaries_every,
@@ -243,7 +258,8 @@ def make_large_weights(small_rbms):
 def make_grbm(X_train, X_val, small_rbms, args):
     if stage_cached(args.grbm_dirpath):
         print('\nLoading G-RBM ...\n')
-        return GaussianRBM.load_model(args.grbm_dirpath)
+        return finish_stage(GaussianRBM.load_model(args.grbm_dirpath),
+                            lambda: (X_train, X_val))
     print('\nAssembling weights for large Gaussian RBM ...\n')
     W, vb, hb = make_large_weights(small_rbms)
     print('\nTraining G-RBM ...\n')
@@ -276,7 +292,8 @@ def make_grbm(X_train, X_val, small_rbms, args):
 def make_mrbm(Q_train, Q_val, args):
     if stage_cached(args.mrbm_dirpath):
         print('\nLoading M-RBM ...\n')
-        return MultinomialRBM.load_model(args.mrbm_dirpath)
+        return finish_stage(MultinomialRBM.load_model(args.mrbm_dirpath),
+                            lambda: (Q_train, Q_val))
     print('\nTraining M-RBM ...\n')
     epochs = args.epochs[1]
     n_every = args.increase_n_gibbs_steps_every
@@ -330,7 +347,7 @@ def make_dbm(data, rbms, particles, args):
         print('\nLoading DBM ...\n')
         dbm = DBM.load_model(args.dbm_dirpath)
         dbm.load_rbms(list(rbms))
-        return dbm
+        return finish_stage(dbm, lambda: (X_train, X_val))
     print('\nTraining DBM ...\n')
     dbm = DBM(rbms=list(rbms),
               n_particles=args.n_particles,

@@ -215,6 +215,47 @@ def test_chunked_staging_bitwise(X, tmp_model_dir, monkeypatch):
         np.asarray(wide), np.asarray(jnp.asarray(Xh, jnp.float32)))
 
 
+def test_f16_staging_kept_narrow_is_bitwise(X, tmp_model_dir, monkeypatch):
+    """When the widened training set would not fit HBM
+    (BMT_STAGE_WIDEN_MAX_GB forced to 0 here), the staged data stays f16
+    on device and every program widens per batch -- f16 -> f32 is exact,
+    so training and transform are bitwise-identical to staging wide."""
+    Xh = X.astype(np.float16)
+
+    def run(tag):
+        rbm = BernoulliRBM(model_path=tmp_model_dir + tag + '/', **CONFIG)
+        rbm.fit(Xh, Xh[:8])
+        return rbm, rbm.transform(Xh)
+
+    monkeypatch.setenv('BMT_STAGE_WIDEN_MAX_GB', '0')
+    narrow, Hn = run('narrow')
+    monkeypatch.delenv('BMT_STAGE_WIDEN_MAX_GB')
+    wide, Hw = run('wide')
+
+    wa, wb = weights_of(narrow), weights_of(wide)
+    np.testing.assert_array_equal(wa['W'], wb['W'])
+    np.testing.assert_array_equal(wa['vb'], wb['vb'])
+    np.testing.assert_array_equal(wa['hb'], wb['hb'])
+    np.testing.assert_array_equal(Hn, Hw)
+
+
+def test_chunked_transform_bitwise(X, tmp_model_dir, monkeypatch):
+    """A transform chunked to one batch per dispatch (budget forced to 0)
+    matches the single-scan dispatch bitwise -- the i0 key offset keeps
+    the per-batch fold chain identical."""
+    rbm = BernoulliRBM(model_path=tmp_model_dir + 'chunked/', **CONFIG)
+    rbm.fit(X)
+    # transform draws its op-seed from the persisted host RNG, so two
+    # fresh loads of the same model see identical keys
+    monkeypatch.setenv('BMT_TRANSFORM_CHUNK_GB', '0')  # 1 batch per chunk
+    chunked = BernoulliRBM.load_model(
+        tmp_model_dir + 'chunked/').transform(X)
+    monkeypatch.delenv('BMT_TRANSFORM_CHUNK_GB')
+    single = BernoulliRBM.load_model(
+        tmp_model_dir + 'chunked/').transform(X)
+    np.testing.assert_array_equal(chunked, single)
+
+
 def test_staging_upload_retries_on_link_failure(X, tmp_model_dir,
                                                 monkeypatch, capfd):
     """A link failure mid-upload restarts the whole slab-staged upload
