@@ -1496,9 +1496,21 @@ class DBM(EnergyBasedModel):
         G = np.zeros((len(X), self.n_hiddens_[-1]), dtype=np_dtype)
         if n_full:
             prog = self._program('transform_scan', self._transform_scan_program)
-            G_full = prog(self._state, full)
-            G[:n_full * self.batch_size] = fetch_as(
-                G_full, np_dtype).reshape(-1, self.n_hiddens_[-1])
+            # chunk the scan when the full feature map would not fit HBM
+            # next to the staged inputs (see BaseRBM.transform); the MF
+            # fixed point has no RNG, so chunked == single-scan trivially
+            budget = float(os.environ.get(
+                'BMT_TRANSFORM_CHUNK_GB', '2')) * 1e9
+            B = self.batch_size
+            batch_bytes = B * (self.n_hiddens_[-1] + self.n_visible_) * 4
+            n_chunk = max(1, min(n_full, int(budget // max(batch_bytes, 1))))
+            for c0 in range(0, n_full, n_chunk):
+                nb = min(n_chunk, n_full - c0)
+                chunk = full if n_full <= n_chunk else \
+                    jax.lax.dynamic_slice_in_dim(full, c0, nb)
+                G_c = prog(self._state, chunk)
+                G[c0 * B:(c0 + nb) * B] = fetch_as(
+                    G_c, np_dtype).reshape(-1, self.n_hiddens_[-1])
         if rem is not None:
             prog = self._program('transform', self._transform_program)
             G_b = prog(self._state, rem)

@@ -32,6 +32,21 @@ def stage_cached(dirpath):
     a bare directory can be left behind by an interrupted run."""
     return os.path.isfile(os.path.join(dirpath, 'params.json'))
 
+
+def finish_stage(model, fit_args):
+    """Resume-aware stage loading: a params.json written MID-RUN by
+    checkpoint_every_epoch must neither pass for a finished model nor
+    restart the stage from scratch -- resume training from the loaded
+    epoch (trajectory-identical resume is a framework guarantee,
+    tests/test_rbm.py).  Mirrors the reference's idempotent stage
+    semantics (dbm_mnist.py:48,85,131) extended to partial checkpoints."""
+    if model.epoch_ >= model.max_epoch:
+        return model
+    print('  (partial checkpoint: resuming at epoch %d/%d)'
+          % (model.epoch_, model.max_epoch))
+    model.fit(*fit_args())
+    return model
+
 def load_data(args):
     try:
         X, y = load_cifar10(mode='train', path=args.data_path)
@@ -88,7 +103,8 @@ def make_smoothing(X_train, n_train, args):
 def make_grbm(X_train, X_val, args):
     if stage_cached(args.grbm_dirpath):
         print('\nLoading G-RBM ...\n')
-        return GaussianRBM.load_model(args.grbm_dirpath)
+        return finish_stage(GaussianRBM.load_model(args.grbm_dirpath),
+                            lambda: (X_train, X_val))
     print('\nTraining G-RBM ...\n')
     grbm = GaussianRBM(n_visible=32 * 32 * 3, n_hidden=5000, sigma=1.,
                        W_init=0.0008, vb_init=0., hb_init=0.,
@@ -119,7 +135,8 @@ def make_grbm(X_train, X_val, args):
 def make_mrbm(Q_train, Q_val, args):
     if stage_cached(args.mrbm_dirpath):
         print('\nLoading M-RBM ...\n')
-        return MultinomialRBM.load_model(args.mrbm_dirpath)
+        return finish_stage(MultinomialRBM.load_model(args.mrbm_dirpath),
+                            lambda: (Q_train, Q_val))
     print('\nTraining M-RBM ...\n')
     mrbm = MultinomialRBM(n_visible=5000, n_hidden=1000, n_samples=1000,
                           W_init=0.01, hb_init=0., vb_init=0.,
@@ -163,7 +180,7 @@ def make_dbm(data, rbms, particles, args):
         print('\nLoading DBM ...\n')
         dbm = DBM.load_model(args.dbm_dirpath)
         dbm.load_rbms(list(rbms))
-        return dbm
+        return finish_stage(dbm, lambda: (X_train, X_val))
     print('\nTraining DBM ...\n')
     dbm = DBM(rbms=list(rbms),
               n_particles=args.n_particles,

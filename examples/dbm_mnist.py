@@ -34,6 +34,21 @@ def stage_cached(dirpath):
     a bare directory can be left behind by an interrupted run."""
     return os.path.isfile(os.path.join(dirpath, 'params.json'))
 
+
+def finish_stage(model, fit_args):
+    """Resume-aware stage loading: a params.json written MID-RUN by
+    checkpoint_every_epoch must neither pass for a finished model nor
+    restart the stage from scratch -- resume training from the loaded
+    epoch (trajectory-identical resume is a framework guarantee,
+    tests/test_rbm.py).  Mirrors the reference's idempotent stage
+    semantics (dbm_mnist.py:48,85,131) extended to partial checkpoints."""
+    if model.epoch_ >= model.max_epoch:
+        return model
+    print('  (partial checkpoint: resuming at epoch %d/%d)'
+          % (model.epoch_, model.max_epoch))
+    model.fit(*fit_args())
+    return model
+
 def load_data(args):
     try:
         X, y = load_mnist(mode='train', path=args.data_path)
@@ -56,7 +71,8 @@ def load_data(args):
 def make_rbm1(X, args):
     if stage_cached(args.rbm1_dirpath):
         print('\nLoading RBM #1 ...\n')
-        return BernoulliRBM.load_model(args.rbm1_dirpath)
+        return finish_stage(BernoulliRBM.load_model(args.rbm1_dirpath),
+                            lambda: (X,))
     print('\nTraining RBM #1 ...\n')
     rbm1 = BernoulliRBM(n_visible=784, n_hidden=args.n_hiddens[0],
                         W_init=0.001, vb_init=0., hb_init=0.,
@@ -85,7 +101,8 @@ def make_rbm1(X, args):
 def make_rbm2(Q, args):
     if stage_cached(args.rbm2_dirpath):
         print('\nLoading RBM #2 ...\n')
-        return BernoulliRBM.load_model(args.rbm2_dirpath)
+        return finish_stage(BernoulliRBM.load_model(args.rbm2_dirpath),
+                            lambda: (Q,))
     print('\nTraining RBM #2 ...\n')
     epochs = args.epochs[1]
     n_every = args.increase_n_gibbs_steps_every
@@ -127,7 +144,7 @@ def make_dbm(data, rbms, transforms, args):
         print('\nLoading DBM ...\n')
         dbm = DBM.load_model(args.dbm_dirpath)
         dbm.load_rbms(list(rbms))
-        return dbm
+        return finish_stage(dbm, lambda: (X_train, X_val))
     print('\nTraining DBM ...\n')
     dbm = DBM(rbms=list(rbms),
               n_particles=args.n_particles,

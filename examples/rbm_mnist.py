@@ -32,6 +32,21 @@ def stage_cached(dirpath):
     a bare directory can be left behind by an interrupted run."""
     return os.path.isfile(os.path.join(dirpath, 'params.json'))
 
+
+def finish_stage(model, fit_args):
+    """Resume-aware stage loading: a params.json written MID-RUN by
+    checkpoint_every_epoch must neither pass for a finished model nor
+    restart the stage from scratch -- resume training from the loaded
+    epoch (trajectory-identical resume is a framework guarantee,
+    tests/test_rbm.py).  Mirrors the reference's idempotent stage
+    semantics (dbm_mnist.py:48,85,131) extended to partial checkpoints."""
+    if model.epoch_ >= model.max_epoch:
+        return model
+    print('  (partial checkpoint: resuming at epoch %d/%d)'
+          % (model.epoch_, model.max_epoch))
+    model.fit(*fit_args())
+    return model
+
 def load_data(args):
     try:
         X, y = load_mnist(mode='train', path=args.data_path)
@@ -56,7 +71,8 @@ def load_data(args):
 def make_rbm(X_train, X_val, args):
     if stage_cached(args.model_dirpath):
         print('\nLoading model ...\n')
-        rbm = BernoulliRBM.load_model(args.model_dirpath)
+        rbm = finish_stage(BernoulliRBM.load_model(args.model_dirpath),
+                           lambda: (X_train, X_val))
     else:
         print('\nTraining model ...\n')
         rbm = BernoulliRBM(n_visible=784,
