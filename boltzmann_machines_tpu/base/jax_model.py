@@ -137,6 +137,41 @@ def degrade_to_sync(reason):
         '(equivalent to BMT_SYNC_FETCH=1 BMT_FETCH_WORKERS=1)\n' % reason)
 
 
+def _program_seconds_budget():
+    """Wall-clock budget for a SINGLE device program, in seconds.
+
+    The tunneled axon TPU worker hard-kills long-running executions: a
+    probe (2026-08-19, this chip) showed a single jitted program of
+    ~51 s device time surviving while ~110 s reliably died with
+    'UNAVAILABLE: TPU worker process crashed or restarted', and the
+    490k-row dbm_cifar DBM stage's 8-epoch block (~67 s) died the same
+    way on three consecutive attempts while the M-RBM's ~29 s blocks
+    sailed through.  So on the axon platform epoch-block programs are
+    capped to ~35 s by default (adaptive: see `_run_epoch_blocks`);
+    elsewhere the cap is off.  BMT_MAX_PROGRAM_SECONDS overrides
+    (<= 0 disables)."""
+    val = os.environ.get('BMT_MAX_PROGRAM_SECONDS')
+    if val is not None:
+        try:
+            return float(val)
+        except ValueError:
+            pass
+    try:
+        import jax
+        if jax.devices()[0].platform == 'axon':
+            return 35.0
+    except Exception:
+        pass
+    return 0.0
+
+
+def _pow2_floor(n):
+    """Largest power of two <= n (n >= 1).  Block sizes are quantized to
+    powers of two so the adaptive cap doesn't jitter between adjacent
+    lengths and recompile the block program every few blocks."""
+    return 1 << (int(n).bit_length() - 1)
+
+
 def _fetch_workers(default=4):
     """Concurrent device->host stream count.  BMT_FETCH_WORKERS=1
     serializes every fetch: concurrent readback streams are a measured
@@ -774,7 +809,17 @@ class JAXModel(BaseModel, DtypeMixin):
         engine: 'xla' (single-device lax scan), 'pallas' (fused epoch
         kernel), or 'shardmap' (mesh epoch with psum'd statistics).
         Pallas/shard_map blocks are additionally split at gibbs-k schedule
-        changes -- those programs are compiled per k."""
+        changes -- those programs are compiled per k.
+
+        When a per-program wall-clock budget is active (see
+        `_program_seconds_budget`: default on the tunneled axon backend,
+        whose worker hard-kills executions past ~1 minute), block sizes
+        adapt to measured epoch time: the first block runs 1 epoch, its
+        execution time (excluding compile) sets a power-of-two epoch cap
+        such that a block stays under the budget, and the cap re-scales
+        with the gibbs-k schedule (cost grows ~linearly in k, so scaling
+        the estimate by k is conservative)."""
+        import time as _time
         from ..utils.utils import schedule_value, _HAVE_TQDM
         n_full = int(full.shape[0])
         per_epoch_iters = n_full + (1 if rem is not None else 0)
@@ -783,24 +828,42 @@ class JAXModel(BaseModel, DtypeMixin):
         use_feg = self._block_use_feg(use_val)
         val_full, val_rem = (staged_val[0], staged_val[1]) if use_val \
             else (None, None)
+        budget = _program_seconds_budget()
+        cap = 1 if budget > 0 else 64
+        sec_per_ek = None     # measured seconds per (epoch * gibbs step)
+        timed_keys = set()    # (k, n_epochs) whose program is warm
         bar = None
         if self.verbose and _HAVE_TQDM:
             from tqdm import tqdm
             bar = tqdm(total=self.max_epoch, initial=self.epoch_,
                        leave=True, ncols=84, desc='training')
         try:
-            for (e0, e1) in self._block_spans(self.epoch_):
+            while self.epoch_ < self.max_epoch:
+                (e0, e1) = self._next_block_span(self.epoch_, cap)
                 runs = [(e0, e1)] if kind == 'xla' \
                     else self._constant_k_runs(e0, e1)
                 for (r0, r1) in runs:
                     epochs = np.arange(r0 + 1, r1 + 1, dtype=np.int32)
+                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
+                                     for t in epochs], np.int32)
+                    k0 = max(1, int(ks[0]))
+                    resized = False
+                    if budget > 0 and sec_per_ek is not None:
+                        # shrink an in-flight run whose k-scaled time
+                        # estimate overshoots the program budget (the
+                        # outer span was sized for the previous k)
+                        allowed = _pow2_floor(max(1, int(
+                            budget / (sec_per_ek * k0))))
+                        if allowed < len(epochs):
+                            r1 = r0 + allowed
+                            epochs = epochs[:allowed]
+                            ks = ks[:allowed]
+                            resized = True
                     lrs = np.asarray([schedule_value(self.learning_rate, t)
                                       for t in epochs], self._np_dtype)
                     moms = np.asarray([schedule_value(self.momentum, t)
                                        for t in epochs], self._np_dtype)
-                    ks = np.asarray([schedule_value(self.n_gibbs_steps, t)
-                                     for t in epochs], np.int32)
-                    run_prog = self._block_program(kind, int(ks[0]), n_full,
+                    run_prog = self._block_program(kind, k0, n_full,
                                                    use_val, use_feg)
                     if run_prog is None:  # fused kernel declined (VMEM)
                         if bar is not None:
@@ -813,9 +876,38 @@ class JAXModel(BaseModel, DtypeMixin):
                     sched = self._epoch_seeds(self._fit_key, epochs) \
                         if kind == 'pallas' else ks
                     iter0 = self.iter_
+                    t_start = _time.monotonic()
                     self._state, stacked = run_prog(
                         self._state, full, rem, val_full, val_rem, lrs,
                         moms, sched, self._fit_key, iter0, epochs)
+                    est = (sec_per_ek or 0.) * len(epochs) * k0
+                    if budget > 0 and (sec_per_ek is None
+                                       or est >= 0.25 * budget):
+                        # blocking here costs one link round trip between
+                        # blocks, so skip it once blocks are known to run
+                        # far under budget (short blocks pipeline freely)
+                        import jax
+                        jax.block_until_ready(self._state)
+                        # axon: block_until_ready can return before the
+                        # device finishes -- a scalar readback through the
+                        # result chain is the reliable fence
+                        leaf = jax.tree_util.tree_leaves(self._state)[0]
+                        float(np.asarray(leaf.ravel()[0]))
+                        key = (k0, len(epochs))
+                        if key in timed_keys:
+                            # warm program: the wall time is execution
+                            # only, safe to fold into the estimate
+                            m = (_time.monotonic() - t_start) \
+                                / (len(epochs) * k0)
+                            if sec_per_ek is None or m > sec_per_ek:
+                                sec_per_ek = m
+                            else:  # decay slowly toward faster measures
+                                sec_per_ek = max(m, sec_per_ek * 0.7)
+                            cap = _pow2_floor(max(1, min(64, int(
+                                budget / (sec_per_ek * k0)))))
+                        else:
+                            # first call compiles inside the timing span
+                            timed_keys.add(key)
                     self.iter_ += len(epochs) * per_epoch_iters
                     self.epoch_ = int(r1)
                     arrays, consume = self._make_block_finisher(
@@ -824,6 +916,10 @@ class JAXModel(BaseModel, DtypeMixin):
                     mp.submit(arrays, consume)
                     if bar is not None:
                         bar.update(len(epochs))
+                    if resized:
+                        # remaining runs of this span start at stale
+                        # epochs; recompute the span from epoch_
+                        break
                 self._block_boundary_host_work(full, rem, aw,
                                                per_epoch_iters)
         finally:
@@ -854,22 +950,29 @@ class JAXModel(BaseModel, DtypeMixin):
         backends."""
         spans = []
         e = start
+        while e < self.max_epoch:
+            span = self._next_block_span(e, cap)
+            spans.append(span)
+            e = span[1]
+        return spans
+
+    def _next_block_span(self, e, cap=64):
+        """The next dispatch block starting at epoch `e`: ends at the
+        nearest host-event epoch (checkpoint / summaries cadence) and
+        never exceeds `cap` epochs."""
+        end = min(e + cap, self.max_epoch)
         # the summaries cadence only matters when summaries can actually
         # fire (they key off an enabled train metric having been logged)
         summaries_cadence = self.summaries_every_epoch \
             if self._any_train_metric() else 0
-        while e < self.max_epoch:
-            end = min(e + cap, self.max_epoch)
-            for cadence in (self.checkpoint_every_epoch
-                            if self.save_after_each_epoch else 0,
-                            summaries_cadence):
-                if cadence:
-                    nxt = ((e // cadence) + 1) * cadence
-                    if e < nxt < end:
-                        end = nxt
-            spans.append((e, end))
-            e = end
-        return spans
+        for cadence in (self.checkpoint_every_epoch
+                        if self.save_after_each_epoch else 0,
+                        summaries_cadence):
+            if cadence:
+                nxt = ((e // cadence) + 1) * cadence
+                if e < nxt < end:
+                    end = nxt
+        return (e, end)
 
     def _submit_epoch_host_work(self, writer, want_summaries, want_ckpt,
                                 extra_work=None):

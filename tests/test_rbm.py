@@ -152,6 +152,36 @@ def test_epoch_block_path_matches_per_epoch_path(X, X_val, tmp_model_dir,
                                    [v for _, _, v in sp], rtol=1e-6)
 
 
+def test_adaptive_block_cap_matches_uncapped(X, X_val, tmp_model_dir,
+                                             monkeypatch):
+    """With a per-program wall-clock budget active (the axon worker kills
+    executions past ~1 min, so blocks are sized adaptively from measured
+    epoch time -- jax_model._program_seconds_budget), the fit trajectory
+    and metric streams must stay bitwise what the uncapped block path
+    produces: block size is a dispatch detail, never semantics.  A tiny
+    budget forces the cap to its 1-epoch floor, exercising the resize
+    and re-measure paths."""
+    cfg = dict(RBM_CONFIG, max_epoch=5)
+    cfg['metrics_config'] = dict(msre=True, pll=True,
+                                 train_metrics_every_iter=2,
+                                 val_metrics_every_epoch=2)
+    rb = BernoulliRBM(model_path=tmp_model_dir + 'uncapped/', **cfg)
+    rb.fit(X, X_val)
+
+    monkeypatch.setenv('BMT_MAX_PROGRAM_SECONDS', '1e-9')
+    rc = BernoulliRBM(model_path=tmp_model_dir + 'capped/', **cfg)
+    rc.fit(X, X_val)
+
+    assert_weights_equal(rb, rc)
+    assert rb.epoch_ == rc.epoch_ and rb.iter_ == rc.iter_
+    for side in ('train', 'val'):
+        su = _read_scalars(tmp_model_dir + 'uncapped/logs/' + side)
+        sc = _read_scalars(tmp_model_dir + 'capped/logs/' + side)
+        assert [(t, s) for t, s, _ in su] == [(t, s) for t, s, _ in sc]
+        np.testing.assert_allclose([v for _, _, v in su],
+                                   [v for _, _, v in sc], rtol=1e-6)
+
+
 def test_block_then_per_epoch_resume_matches(X, X_val, tmp_model_dir,
                                              monkeypatch):
     """Training some epochs on the block path, then RESUMING on the
