@@ -158,7 +158,11 @@ def _program_seconds_budget():
             pass
     try:
         import jax
-        if jax.devices()[0].platform == 'axon':
+        dev = jax.devices()[0]
+        # the axon plugin registers as platform 'tpu'; its identity is
+        # only visible in the PJRT platform_version string
+        version = getattr(dev.client, 'platform_version', '') or ''
+        if dev.platform == 'axon' or 'axon' in version:
             return 35.0
     except Exception:
         pass
@@ -734,6 +738,24 @@ class JAXModel(BaseModel, DtypeMixin):
             backoff = float(os.environ.get('BMT_LINK_RETRY_BACKOFF', 15))
         except ValueError:
             backoff = 15.
+        snap = None
+        if retries > 0:
+            # fit-start host snapshot: the no-checkpoint recovery fallback.
+            # In-memory device arrays die with a crashed worker, so a
+            # retry "from the in-memory state" must be able to re-upload
+            # from host copies -- and if even fetching the current state
+            # fails (it was produced by the dead executable), recovery
+            # rolls back to this fit-start state instead of burning every
+            # retry on a poisoned pointer.  One extra state readback per
+            # fit call; disable with BMT_LINK_RETRIES=0.
+            try:
+                snap = {'arrays': self._get_state_arrays(),
+                        'epoch': self.epoch_, 'iter': self.iter_,
+                        'rng': (self._rng.get_state()
+                                if self.random_seed is not None else None),
+                        'fit_key': getattr(self, '_fit_key', None)}
+            except BaseException:
+                snap = None
         attempt = 0
         while True:
             try:
@@ -744,11 +766,25 @@ class JAXModel(BaseModel, DtypeMixin):
                     raise
                 attempt += 1
                 self._recover_from_link_failure(aw, mp, e, attempt,
-                                                backoff)
+                                                backoff, snap)
                 if self.epoch_ >= self.max_epoch:
                     return None
 
-    def _recover_from_link_failure(self, aw, mp, exc, attempt, backoff):
+    def _restore_host_snapshot(self, snap):
+        """Roll model state back to a fit-start host snapshot (see
+        `_fit_epoch_blocks`): re-uploads the state arrays and restores
+        epoch/iter/host-RNG/fit-key so the retried run repeats the same
+        trajectory from there."""
+        self._set_state_arrays(snap['arrays'])
+        self.epoch_ = snap['epoch']
+        self.iter_ = snap['iter']
+        if snap['rng'] is not None:
+            self._rng.set_state(snap['rng'])
+        if snap['fit_key'] is not None:
+            self._fit_key = snap['fit_key']
+
+    def _recover_from_link_failure(self, aw, mp, exc, attempt, backoff,
+                                   snap=None):
         """Post-link-failure recovery: downgrade to inline fetch, drain
         the async lanes (swallowing secondary link errors -- the primary
         is what we are recovering from), wait out the backoff, and reload
@@ -774,10 +810,29 @@ class JAXModel(BaseModel, DtypeMixin):
             sys.stderr.write('link-failure recovery: resuming from '
                              'checkpoint at epoch %d (iter %d)\n'
                              % (self.epoch_, self.iter_))
-        else:
+            return
+        # no checkpoint: the in-memory state is only usable if its device
+        # arrays survived (they do NOT when the remote worker crashed --
+        # fetch them to host and re-upload through fresh arrays to prove
+        # it); otherwise roll back to the fit-start snapshot
+        try:
+            self._set_state_arrays(self._get_state_arrays())
             sys.stderr.write('link-failure recovery: no checkpoint on '
                              'disk; retrying from the in-memory state at '
                              'epoch %d\n' % self.epoch_)
+        except BaseException as e2:
+            if not _is_link_failure(e2):
+                raise
+            if snap is None:
+                sys.stderr.write('link-failure recovery: in-memory state '
+                                 'unreadable (%r) and no fit-start '
+                                 'snapshot; giving up\n' % (e2,))
+                raise exc
+            self._restore_host_snapshot(snap)
+            sys.stderr.write('link-failure recovery: in-memory state died '
+                             'with the worker; rolled back to the '
+                             'fit-start snapshot at epoch %d\n'
+                             % self.epoch_)
 
     def _reload_last_checkpoint(self):
         """Restore params/rng/state from the model dir in place (the

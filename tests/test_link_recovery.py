@@ -127,6 +127,44 @@ def test_link_failure_without_checkpoint_retries_in_memory(X, tmp_model_dir,
     assert 'no checkpoint on disk' in capfd.readouterr().err
 
 
+def test_poisoned_state_rolls_back_to_fit_start_snapshot(X, tmp_model_dir,
+                                                         capfd):
+    """No checkpoint AND the in-memory state died with the worker (its
+    device arrays are unreadable): recovery must roll back to the
+    fit-start host snapshot instead of burning every retry on a poisoned
+    pointer -- and the rolled-back run repeats the fit-start trajectory,
+    so the final weights equal an uninterrupted fit's."""
+    cfg = dict(CONFIG, save_after_each_epoch=False)
+    rbm = BernoulliRBM(model_path=tmp_model_dir + 'poison/', **cfg)
+    fired = _inject_dispatch_failure(
+        rbm, RuntimeError('UNAVAILABLE: socket closed (injected)'),
+        at_epoch=2)
+    orig_get = rbm._get_state_arrays
+    calls = {'n': 0}
+
+    def poisoned_get():
+        calls['n'] += 1
+        if calls['n'] == 2:  # call 1 = fit-start snapshot; 2 = recovery
+            raise RuntimeError('UNAVAILABLE: worker crashed (injected)')
+        return orig_get()
+
+    rbm._get_state_arrays = poisoned_get
+    rbm.fit(X)
+    assert fired['n'] == 1
+    assert rbm.epoch_ == 4
+    err = capfd.readouterr().err
+    assert 'rolled back to the fit-start snapshot at epoch 0' in err
+
+    jm._FORCED_SYNC = False
+    ref = BernoulliRBM(model_path=tmp_model_dir + 'poison_ref/', **cfg)
+    ref.fit(X)
+    wa, wb = weights_of(rbm), weights_of(ref)
+    np.testing.assert_array_equal(wa['W'], wb['W'])
+    np.testing.assert_array_equal(wa['vb'], wb['vb'])
+    np.testing.assert_array_equal(wa['hb'], wb['hb'])
+    assert rbm.iter_ == ref.iter_
+
+
 def test_non_link_error_propagates(X, tmp_model_dir):
     """Ordinary exceptions must NOT trigger the downgrade/retry path."""
     rbm = BernoulliRBM(model_path=tmp_model_dir + 'bug/', **CONFIG)
