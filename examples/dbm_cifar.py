@@ -475,12 +475,28 @@ def main():
         if isinstance(val, (list, tuple)) and len(val) == 1:
             setattr(args, name, list(val) * 3)
 
+    # per-stage wall clocks, printed as each stage completes and summed at
+    # the end -- the composite's end-to-end record (vs the reference's
+    # 1 d 13 h 8 m, /root/reference/examples/dbm_cifar.py:15-16)
+    import time as _time
+    _t0 = _time.monotonic()
+    _stages = []
+
+    def _stage_done(name):
+        now = _time.monotonic()
+        prev = _t0 + sum(s for _, s in _stages)
+        _stages.append((name, now - prev))
+        print('\n[stage] %-28s %8.1f s  (total %8.1f s)\n'
+              % (name, _stages[-1][1], now - _t0), flush=True)
+
     print('\nPreparing data ...\n')
     X_train, y_train, X_val, y_val, X_test, y_test = load_data(args)
+    _stage_done('load data')
 
     if not args.no_aug:
         X_train, y_train = make_augmentation(X_train, y_train, len(X_train),
                                              args)
+        _stage_done('x10 augmentation')
 
     # center using the (augmented) training mean.  The augmented X_train
     # is a fresh array, so center it in place (skips a 6 GB copy); the
@@ -496,8 +512,10 @@ def main():
     X_test_c = X_test - X_mean
 
     small_rbms = make_small_rbms(X_train_c, X_val_c, args)
+    _stage_done('26 small patch RBMs')
 
     grbm = make_grbm(X_train_c, X_val_c, small_rbms, args)
+    _stage_done('quilt + G-RBM')
 
     print('\nExtracting G-RBM features ...\n')
     Q_train = make_rbm_transform(grbm, X_train_c,
@@ -506,19 +524,23 @@ def main():
     Q_val = make_rbm_transform(grbm, X_val_c,
                                os.path.join(args.data_path, 'Q_val_cifar.npy'),
                                np_dtype=np.float16)
+    _stage_done('G-RBM features')
 
     # the f16 feature matrices go to fit/transform UNCAST: the framework
     # widens f16->f32 exactly on device during staging, skipping three
     # separate 2x-sized host copies (at 490k x 7800 each `astype` is a
     # 15.3 GB first-touch -- tens of minutes in sandboxed VMs)
     mrbm = make_mrbm(Q_train, Q_val, args)
+    _stage_done('M-RBM')
 
     print('\nExtracting M-RBM features ...\n')
     G_train = make_rbm_transform(mrbm, Q_train,
                                  os.path.join(args.data_path, 'G_train_cifar.npy'))
+    _stage_done('M-RBM features')
 
     make_dbm((X_train_c, X_val_c), (grbm, mrbm),
              (Q_train[:args.n_particles].astype(np.float32), G_train), args)
+    _stage_done('3-layer DBM')
 
     print('\nDiscriminative fine-tuning ...\n')
     W = hb = None
@@ -527,6 +549,12 @@ def main():
         W, hb = weights['W'], weights['hb']
     make_mlp((X_train_c, y_train), (X_val_c, y_val), (X_test_c, y_test),
              (W, hb), args)
+    _stage_done('MLP fine-tune')
+
+    print('\n[stage] composite end-to-end: %.1f s (%.1f min)\n'
+          % (_time.monotonic() - _t0, (_time.monotonic() - _t0) / 60.))
+    for name, secs in _stages:
+        print('[stage]   %-28s %8.1f s' % (name, secs))
 
 
 if __name__ == '__main__':
