@@ -874,8 +874,11 @@ def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
         hst[:] = bern(hm[:]) if sample_h_states else hm[:]
 
     # association tiles: pos - neg computed in VMEM, streamed to the HBM
-    # output under the next tile's matmuls (padded columns carry sigmoid
-    # garbage and are sliced off by the wrapper)
+    # output under the next tile's matmuls.  Lane-padding columns are
+    # zeroed in-kernel (statically, on the one boundary tile) so a caller
+    # that keeps its state padded across the training scan -- avoiding the
+    # per-step pad/slice W-sized HBM copies -- sees exactly-zero pad
+    # statistics and its padded parameters never drift from zero.
     out_cps = [None, None]
     for idx, (t, c0, w) in enumerate(tl):
         if out_cps[idx % 2] is not None:
@@ -887,7 +890,11 @@ def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
         neg = jax.lax.dot_general(vst[:], hm[:, c0:c0 + w],
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)
-        a_buf(idx)[:, :w] = pos - neg
+        val = pos - neg
+        if c0 + w > n_hidden_real:
+            col = c0 + jax.lax.broadcasted_iota(jnp.int32, (V, w), 1)
+            val = jnp.where(col < n_hidden_real, val, f32(0.))
+        a_buf(idx)[:, :w] = val
         oc = pltpu.make_async_copy(a_buf(idx).at[:, :w],
                                    assoc_hbm.at[:, c0:c0 + w],
                                    dma_sems.at[2 + idx % 2])
@@ -898,8 +905,15 @@ def _tiled_cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_in, vb_ref, hb_ref,
             oc.wait()
 
     dvb_o[:] = jnp.sum(X - vst[:], axis=0, keepdims=True)
-    dhb_o[:] = jnp.sum(h0m[:] - hm[:], axis=0, keepdims=True)
-    hsum_o[:] = jnp.sum(hm[:], axis=0, keepdims=True)
+    dhb_vals = jnp.sum(h0m[:] - hm[:], axis=0, keepdims=True)
+    hsum_vals = jnp.sum(hm[:], axis=0, keepdims=True)
+    if H != n_hidden_real:
+        hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+                 < n_hidden_real).astype(f32)
+        dhb_vals = dhb_vals * hmask
+        hsum_vals = hsum_vals * hmask
+    dhb_o[:] = dhb_vals
+    hsum_o[:] = hsum_vals
     vmeans_o[:] = v_means_last
 
 
@@ -934,8 +948,15 @@ def make_tiled_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
                            jnp.asarray(it, jnp.int32).astype(jnp.uint32),
                            jnp.asarray(shard, jnp.int32).astype(jnp.uint32)])
 
+        # Pre-padded state (the shard_map epoch keeps W/hb lane-padded
+        # across the training scan): skip the per-step pad AND return
+        # padded stats, so the hot loop moves zero extra W-sized copies.
+        # The kernel masks pad-column statistics to exactly zero, so
+        # padded parameters never drift.
+        pre_padded = H != H_real and state['W'].shape[1] == H
+
         def pad_cols(a):
-            return a if H == H_real else \
+            return a if (H == H_real or pre_padded) else \
                 jnp.pad(a, ((0, 0), (0, H - H_real)))
 
         outs = pl.pallas_call(
@@ -977,15 +998,17 @@ def make_tiled_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
             interpret=(pltpu.InterpretParams() if interpret else False),
         )(seeds, X_batch, jnp.asarray(sigma_arr), pad_cols(state['W']),
           state['vb'].reshape(1, V),
-          pad_cols(state['hb'].reshape(1, H_real)))
+          pad_cols(state['hb'].reshape(1, -1)))
         assoc, dvb, dhb, hsum, v_means = outs
-        stats_tree = {'assoc': assoc[:, :H_real],
+        Hs = H if pre_padded else H_real
+        stats_tree = {'assoc': assoc[:, :Hs],
                       'dvb_sum': dvb.reshape(V),
-                      'dhb_sum': dhb.reshape(H)[:H_real],
-                      'h_sum': hsum.reshape(H)[:H_real]}
+                      'dhb_sum': dhb.reshape(H)[:Hs],
+                      'h_sum': hsum.reshape(H)[:Hs]}
         aux = {'X': X_batch, 'v_means': v_means}
         return stats_tree, aux
 
+    stats.padded_hidden = H
     return stats
 
 

@@ -367,11 +367,17 @@ class BaseRBM(EnergyBasedModel):
         aux = {'X': X, 'v_means': v_means}
         return stats, aux
 
-    def _apply_cd_update(self, state, stats, N, lr, momentum):
+    def _apply_cd_update(self, state, stats, N, lr, momentum,
+                         col_mask=None):
         """Parameter update from (possibly psum-reduced) CD statistics:
         the reference momentum rule ``acc <- lr * (m * acc + grad);
         param += acc`` (base_rbm.py:465-474) with L2 on dW and the EMA
-        sparsity penalty on summed hidden means (456-462)."""
+        sparsity penalty on summed hidden means (456-462).
+
+        `col_mask` (0/1 over hidden columns) is set when the caller keeps
+        its state lane-padded across a training scan: the sparsity
+        penalty's ``-cost * target`` constant would otherwise drift the
+        padded (exactly-zero) columns of hb/W."""
         dtype = state['W'].dtype
         N = jnp.asarray(N, dtype=dtype)
         l2 = jnp.asarray(self.l2, dtype=dtype)
@@ -384,6 +390,8 @@ class BaseRBM(EnergyBasedModel):
         q_new = damping * state['q_means'] + (1. - damping) * stats['h_sum']
         penalty = jnp.asarray(self.sparsity_cost, dtype=dtype) * \
             (q_new - jnp.asarray(self.sparsity_target, dtype=dtype))
+        if col_mask is not None:
+            penalty = penalty * col_mask
         dhb = dhb - penalty
         dW = dW - penalty  # broadcast over visible rows
 
@@ -601,7 +609,39 @@ class BaseRBM(EnergyBasedModel):
         # does not consume -- the hot loop is stats + psum + update only
         metrics_off = every >= 10 ** 8
 
+        # tiled-stats models keep their state lane-padded across the whole
+        # epoch (pad once on entry, slice once on exit): the stats wrapper
+        # would otherwise materialize a padded-W copy plus an assoc slice
+        # copy EVERY training step -- ~4 extra W-sized HBM passes on a path
+        # whose whole point is W-traffic economy.  The kernel masks
+        # pad-column statistics to exactly zero and `col_mask` masks the
+        # sparsity penalty's -cost*target constant, so the padded columns
+        # of W/hb and their accumulators stay exactly zero.
+        H_real = self.n_hidden
+        pad_n = 0
+        if stats_fn is not None and stats_mode == 'tiled':
+            pad_n = int(stats_fn.padded_hidden) - H_real
+        col_mask = ((jnp.arange(H_real + pad_n) < H_real).astype(dtype)
+                    if pad_n else None)
+
+        def _pad_state(st):
+            if not pad_n:
+                return st
+            pc2 = lambda a: jnp.pad(a, ((0, 0), (0, pad_n)))
+            pc1 = lambda a: jnp.pad(a, (0, pad_n))
+            return dict(st, W=pc2(st['W']), dW=pc2(st['dW']),
+                        hb=pc1(st['hb']), dhb=pc1(st['dhb']),
+                        q_means=pc1(st['q_means']))
+
+        def _unpad_state(st):
+            if not pad_n:
+                return st
+            return dict(st, W=st['W'][:, :H_real], dW=st['dW'][:, :H_real],
+                        hb=st['hb'][:H_real], dhb=st['dhb'][:H_real],
+                        q_means=st['q_means'][:H_real])
+
         def epoch_fn(state, X_batches, lr, momentum, k_unused, key, iter0):
+            state = _pad_state(state)
             my = jax.lax.axis_index(axis)
             seed32 = jax.random.randint(jax.random.fold_in(key, 987654321),
                                         (), 0, 2 ** 31 - 1)
@@ -619,7 +659,8 @@ class BaseRBM(EnergyBasedModel):
                                                 step_key_for(it))
                 stats = jax.lax.psum(stats, axis)
                 new_state = self._apply_cd_update(state, stats, N_global,
-                                                  lr, momentum)
+                                                  lr, momentum,
+                                                  col_mask=col_mask)
                 if metrics_off:
                     return (new_state, it), ()
 
@@ -631,15 +672,20 @@ class BaseRBM(EnergyBasedModel):
                     # the hot loop carries no per-step metric collectives
                     sq = jnp.sum(jnp.square(aux['X'] - aux['v_means']))
                     if want_pll:
+                        # free energy on REAL columns only: each padded
+                        # hidden unit would add softplus(0) to both terms
+                        # (cancels in the PLL difference, but keep the
+                        # logged energies exact)
+                        fe_state = _unpad_state(new_state)
                         mk = jax.random.fold_in(step_key_for(it), 7)
                         B = aux['X'].shape[0]
                         idx = jax.random.randint(mk, (B,), 0, V)
                         rows = jnp.arange(B)
                         flipped = aux['X'].at[rows, idx].set(
                             1. - aux['X'][rows, idx])
-                        fe_x = self._free_energy(new_state, aux['X'],
+                        fe_x = self._free_energy(fe_state, aux['X'],
                                                  jax.random.fold_in(mk, 1))
-                        fe_f = self._free_energy(new_state, flipped,
+                        fe_f = self._free_energy(fe_state, flipped,
                                                  jax.random.fold_in(mk, 2))
                     else:
                         fe_x = fe_f = jnp.zeros((), dtype)
@@ -657,6 +703,7 @@ class BaseRBM(EnergyBasedModel):
 
             (state, it), stacked = jax.lax.scan(scan_body, (state, iter0),
                                                 X_batches)
+            state = _unpad_state(state)
             if metrics_off:
                 nb = X_batches.shape[0]
                 z = jnp.zeros((nb,), dtype)

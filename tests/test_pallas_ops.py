@@ -742,6 +742,54 @@ def test_tiled_cd_stats_kernel_interpret_matches_lax_cpu(tmp_path):
                                np.asarray(aux_pal['v_means']), atol=2e-5)
 
 
+def test_tiled_cd_stats_padded_state_contract(tmp_path):
+    """Pre-padded state (the shard_map epoch's padded carry): the wrapper
+    must skip the per-step pad, return PADDED stats, and every pad-column
+    statistic must be EXACTLY zero -- otherwise the carried padded W/hb
+    drift from zero and contaminate real columns through the v-pass."""
+    from boltzmann_machines_tpu.ops.pallas_ops import \
+        make_tiled_cd_stats_kernel
+
+    V, H_real, B = 16, 200, 8          # lane-padded to H = 256
+    H = 256
+    rng = np.random.RandomState(3)
+    W = np.zeros((V, H), np.float32)
+    W[:, :H_real] = rng.randn(V, H_real).astype(np.float32) * 0.2
+    hb = np.zeros(H, np.float32)
+    hb[:H_real] = rng.randn(H_real).astype(np.float32) * 0.3
+    vb = rng.randn(V).astype(np.float32) * 0.3
+    X = (rng.rand(B, V) < 0.5).astype(np.float32)
+
+    stats_fn = make_tiled_cd_stats_kernel(
+        V, H_real, B, k=1, sample_v_states=False, sample_h_states=False,
+        propup_mult=1., propdown_mult=1., visible='bernoulli',
+        tile=128, interpret=True)
+
+    padded = {'W': jnp.asarray(W), 'vb': jnp.asarray(vb),
+              'hb': jnp.asarray(hb)}
+    real = {'W': jnp.asarray(W[:, :H_real]), 'vb': jnp.asarray(vb),
+            'hb': jnp.asarray(hb[:H_real])}
+    tp, _ = stats_fn(padded, jnp.asarray(X), 7, 1, 0)
+    tr, _ = stats_fn(real, jnp.asarray(X), 7, 1, 0)
+
+    assert tp['assoc'].shape == (V, H)
+    assert tp['dhb_sum'].shape == (H,) and tp['h_sum'].shape == (H,)
+    # pad columns exactly zero (not merely small)
+    np.testing.assert_array_equal(np.asarray(tp['assoc'][:, H_real:]),
+                                  np.zeros((V, H - H_real), np.float32))
+    np.testing.assert_array_equal(np.asarray(tp['dhb_sum'][H_real:]),
+                                  np.zeros(H - H_real, np.float32))
+    np.testing.assert_array_equal(np.asarray(tp['h_sum'][H_real:]),
+                                  np.zeros(H - H_real, np.float32))
+    # real columns bitwise-match the unpadded-state call
+    np.testing.assert_array_equal(np.asarray(tp['assoc'][:, :H_real]),
+                                  np.asarray(tr['assoc']))
+    np.testing.assert_array_equal(np.asarray(tp['dhb_sum'][:H_real]),
+                                  np.asarray(tr['dhb_sum']))
+    np.testing.assert_array_equal(np.asarray(tp['h_sum'][:H_real]),
+                                  np.asarray(tr['h_sum']))
+
+
 # ------------------------------------------------------------------ #
 # fused-PLL numeric goldens (round 5): a wrong-but-finite free energy #
 # in-kernel must FAIL CI, not just NaN (verdict round 4, weak #2)      #
