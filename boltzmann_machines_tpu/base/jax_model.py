@@ -137,6 +137,109 @@ def degrade_to_sync(reason):
         '(equivalent to BMT_SYNC_FETCH=1 BMT_FETCH_WORKERS=1)\n' % reason)
 
 
+#: hang-watchdog shared state: `armed` counts open watchdog windows,
+#: `t` is the last heartbeat, `action` is replaceable by tests.
+_WATCHDOG = {'armed': 0, 't': 0.0, 'thread': None,
+             'lock': threading.Lock(), 'action': None}
+
+
+def _hang_timeout():
+    """Seconds of zero host-visible progress inside an armed watchdog
+    window before the watchdog fires.  Defaults to 900 s on platforms
+    with a single-program wall-clock budget (the fragile remote-attached
+    worker, see `_program_seconds_budget`) -- an order of magnitude above
+    the longest legitimate silent gap there (a budget-capped ~35 s block
+    program; chunked checkpoint/feature fetches heartbeat every ~32 MB
+    piece) -- and to OFF elsewhere, where a legitimately long single
+    program (giant compile, CPU interpret-mode run) has no such bound.
+    BMT_HANG_TIMEOUT_SECONDS overrides either way; <= 0 disables."""
+    val = os.environ.get('BMT_HANG_TIMEOUT_SECONDS')
+    if val is not None:
+        try:
+            return float(val)
+        except ValueError:
+            return 0.0
+    if _WATCHDOG.get('default') is None:
+        _WATCHDOG['default'] = \
+            900.0 if _program_seconds_budget() > 0 else 0.0
+    return _WATCHDOG['default']
+
+
+def _default_hang_action(elapsed):
+    """A silently hung device RPC parks the thread on a futex FOREVER --
+    no exception is ever raised, so `_recover_from_link_failure` never
+    runs (observed 2026-08-19: a 490k-row feature fetch blocked at
+    ~3 CPU-ticks/min for 40+ minutes while the backend health check
+    confirmed the remote worker was dead).  Exiting with a distinct code
+    converts the unbounded hang into a supervised restart; checkpoints
+    and stage caches make the retry cheap."""
+    import sys
+    sys.stderr.write(
+        'FATAL: no host-visible device progress for %.0f s inside an '
+        'active fit/fetch window -- the device link has hung silently '
+        '(no error will ever surface).  Exiting 86 for a supervisor '
+        'restart; set BMT_HANG_TIMEOUT_SECONDS to tune or 0 to '
+        'disable.\n' % elapsed)
+    sys.stderr.flush()
+    os._exit(86)
+
+
+_WATCHDOG['action'] = _default_hang_action
+
+
+def heartbeat():
+    """Record host-visible progress; called by the fit loop, the async
+    pipelines, and every chunked transfer piece."""
+    import time
+    _WATCHDOG['t'] = time.time()
+
+
+def _watchdog_monitor():
+    import time
+    while True:
+        timeout = _hang_timeout()
+        time.sleep(max(0.5, min(30.0, timeout / 4. if timeout > 0
+                                else 30.0)))
+        if timeout <= 0 or _WATCHDOG['armed'] <= 0:
+            continue
+        dt = time.time() - _WATCHDOG['t']
+        if dt > timeout:
+            _WATCHDOG['action'](dt)
+
+
+class hang_watchdog_window(object):
+    """Context manager arming the hang watchdog: while any window is
+    open, `heartbeat()` must fire at least every `_hang_timeout()`
+    seconds or the watchdog acts (default: exit 86, see
+    `_default_hang_action`).  Wraps `fit()` and the chunked
+    device<->host transfer helpers; windows nest."""
+
+    def __enter__(self):
+        import time
+        if _hang_timeout() <= 0:
+            self._armed = False
+            return self
+        with _WATCHDOG['lock']:
+            _WATCHDOG['armed'] += 1
+            _WATCHDOG['t'] = time.time()
+            if _WATCHDOG['thread'] is None:
+                th = threading.Thread(target=_watchdog_monitor,
+                                      name='bmt-hang-watchdog',
+                                      daemon=True)
+                th.start()
+                _WATCHDOG['thread'] = th
+        self._armed = True
+        return self
+
+    def __exit__(self, *exc):
+        import time
+        if self._armed:
+            with _WATCHDOG['lock']:
+                _WATCHDOG['armed'] -= 1
+                _WATCHDOG['t'] = time.time()
+        return False
+
+
 def _program_seconds_budget():
     """Wall-clock budget for a SINGLE device program, in seconds.
 
@@ -200,11 +303,18 @@ def fetch_many(*arrays):
     Honors BMT_FETCH_WORKERS (see `_fetch_workers`)."""
     arrays = list(arrays)
     w = _fetch_workers()
-    if len(arrays) <= 1 or w <= 1:
-        return [np.asarray(a) for a in arrays]
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(min(w, len(arrays))) as ex:
-        return list(ex.map(np.asarray, arrays))
+
+    def pull(a):
+        r = np.asarray(a)
+        heartbeat()
+        return r
+
+    with hang_watchdog_window():
+        if len(arrays) <= 1 or w <= 1:
+            return [pull(a) for a in arrays]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(w, len(arrays))) as ex:
+            return list(ex.map(pull, arrays))
 
 
 def fetch_as(arr, np_dtype, chunk_mb=32, workers=None):
@@ -227,26 +337,32 @@ def fetch_as(arr, np_dtype, chunk_mb=32, workers=None):
     if hasattr(arr, 'astype') and np_dtype.itemsize < arr.dtype.itemsize:
         arr = arr.astype(np_dtype)
     is_device = hasattr(arr, 'addressable_shards')  # jax.Array
-    if not is_device or not getattr(arr, 'ndim', 0) or \
-            getattr(arr, 'nbytes', 0) <= (chunk_mb << 20):
-        return np.asarray(arr, dtype=np_dtype)
-    rows = max(1, int((chunk_mb << 20) // max(arr.nbytes // arr.shape[0],
-                                              1)))
-    spans = [(i, min(i + rows, arr.shape[0]))
-             for i in range(0, arr.shape[0], rows)]
-    pieces = [arr[i:j] for i, j in spans]  # device-side slices
-    out = np.empty(arr.shape, dtype=np_dtype)
-    if len(pieces) == 1 or workers <= 1:
-        for (i, j), p in zip(spans, pieces):
+    with hang_watchdog_window():
+        if not is_device or not getattr(arr, 'ndim', 0) or \
+                getattr(arr, 'nbytes', 0) <= (chunk_mb << 20):
+            r = np.asarray(arr, dtype=np_dtype)
+            heartbeat()
+            return r
+        rows = max(1, int((chunk_mb << 20) // max(arr.nbytes //
+                                                  arr.shape[0], 1)))
+        spans = [(i, min(i + rows, arr.shape[0]))
+                 for i in range(0, arr.shape[0], rows)]
+        pieces = [arr[i:j] for i, j in spans]  # device-side slices
+        out = np.empty(arr.shape, dtype=np_dtype)
+
+        def pull(span_piece):
+            (i, j), p = span_piece
             out[i:j] = np.asarray(p, dtype=np_dtype)
+            heartbeat()
+
+        if len(pieces) == 1 or workers <= 1:
+            for sp in zip(spans, pieces):
+                pull(sp)
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(workers, len(pieces))) as ex:
+            list(ex.map(pull, zip(spans, pieces)))
         return out
-    from concurrent.futures import ThreadPoolExecutor
-    def pull(span_piece):
-        (i, j), p = span_piece
-        out[i:j] = np.asarray(p, dtype=np_dtype)
-    with ThreadPoolExecutor(min(workers, len(pieces))) as ex:
-        list(ex.map(pull, zip(spans, pieces)))
-    return out
 
 
 class MetricsPipeline(object):
@@ -434,6 +550,7 @@ class AsyncEpochWriter(object):
             fn, heavy = item
             try:
                 fn()
+                heartbeat()
             except BaseException as e:  # re-raised on the training thread
                 self._exc = e
             finally:
@@ -658,11 +775,13 @@ class JAXModel(BaseModel, DtypeMixin):
                 out = upd(out, jnp.asarray(X[i:i + slab_rows]), i)
                 if (n + 1) % inflight == 0:
                     jax.block_until_ready(out)
+                    heartbeat()
             return jax.block_until_ready(out)
 
         for attempt in range(retries + 1):
             try:
-                return attempt_upload()
+                with hang_watchdog_window():
+                    return attempt_upload()
             except Exception as e:  # noqa: BLE001 -- classified below
                 if attempt >= retries or not _is_link_failure(e):
                     raise
@@ -985,6 +1104,7 @@ class JAXModel(BaseModel, DtypeMixin):
         """Summaries / checkpoint submission at a block boundary --
         identical cadence logic to the per-epoch loops (the boundary epoch
         IS a cadence epoch by construction of `_block_spans`)."""
+        heartbeat()   # a block dispatch returned: host-visible progress
         every = self._train_metrics_every()
         last_lo = self.iter_ - per_epoch_iters
         logged = bool((((np.arange(last_lo + 1, self.iter_ + 1)) % every)
@@ -1150,7 +1270,12 @@ class JAXModel(BaseModel, DtypeMixin):
         """Fit the model according to the given training data."""
         self._ensure_state()
         self.initialized_ = True
-        self._fit(X, X_val=X_val, *args, **kwargs)
+        # the whole fit runs under the hang watchdog: a silently hung
+        # device RPC anywhere in the loop (dispatch, metric fetch,
+        # checkpoint write) otherwise blocks the thread forever with no
+        # exception for the link-failure recovery to catch
+        with hang_watchdog_window():
+            self._fit(X, X_val=X_val, *args, **kwargs)
         self._save_model()
         return self
 

@@ -211,3 +211,32 @@ def test_device_histogram_nonfinite(tmp_path):
     with open(os.path.join(str(tmp_path), events[0]), 'rb') as f:
         data = f.read()
     assert b'n_nonfinite' in data
+
+
+def test_hang_watchdog_fires_and_disarms(monkeypatch):
+    """The hang watchdog converts a silently hung device RPC (no
+    exception, thread parked on a futex) into a supervised restart: it
+    fires after BMT_HANG_TIMEOUT_SECONDS of zero heartbeats inside an
+    armed window, stays quiet outside windows, and heartbeats keep an
+    armed window alive."""
+    import time
+    from boltzmann_machines_tpu.base import jax_model as jm
+
+    fired = []
+    monkeypatch.setitem(jm._WATCHDOG, 'action',
+                        lambda dt: fired.append(dt))
+    monkeypatch.setenv('BMT_HANG_TIMEOUT_SECONDS', '1')
+
+    with jm.hang_watchdog_window():
+        time.sleep(2.6)            # monitor period is timeout/4 = 0.25 s
+    assert fired and fired[0] >= 1.0
+
+    fired[:] = []                  # disarmed: nothing fires while idle
+    time.sleep(1.6)
+    assert not fired
+
+    with jm.hang_watchdog_window():    # heartbeats keep it alive
+        for _ in range(5):
+            time.sleep(0.3)
+            jm.heartbeat()
+    assert not fired
