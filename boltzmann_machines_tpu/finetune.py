@@ -214,6 +214,21 @@ class MLPClassifier(object):
         stall_es = stall_rlr = 0
         key = jax.random.PRNGKey(int(self._rng.randint(2 ** 31 - 1)))
 
+        # per-epoch float(loss) readbacks are the natural heartbeats; a
+        # silently hung link inside an epoch program trips the watchdog
+        from .base.jax_model import hang_watchdog_window, heartbeat
+        with hang_watchdog_window():
+            self._fit_loop(train_epoch, train_step, evaluate, opt_state,
+                           lr, best, stall_es, stall_rlr, key,
+                           nb, Xb, Yb, X_rem, Y_rem,
+                           Xv if X_val is not None else None,
+                           Yv if X_val is not None else None, heartbeat)
+        return self
+
+    def _fit_loop(self, train_epoch, train_step, evaluate, opt_state,
+                  lr, best, stall_es, stall_rlr, key, nb, Xb, Yb,
+                  X_rem, Y_rem, Xv, Yv, heartbeat):
+        X_val = Xv
         for epoch in range(1, self.max_epoch + 1):
             key, k = jax.random.split(key)
             loss = jnp.zeros(())
@@ -228,6 +243,7 @@ class MLPClassifier(object):
                     loss = rem_loss
             msg = 'mlp epoch {0}/{1}: loss {2:.4f}'.format(
                 epoch, self.max_epoch, float(loss))
+            heartbeat()
             if X_val is not None:
                 vloss, vacc = evaluate(self._params, self._bn_stats, Xv, Yv)
                 vloss, vacc = float(vloss), float(vacc)
@@ -259,10 +275,13 @@ class MLPClassifier(object):
                                         jax.random.PRNGKey(0))
                 return jax.nn.softmax(logits, axis=-1)
             self._infer_fn = jax.jit(infer)
+        from .base.jax_model import hang_watchdog_window, heartbeat
         out = []
-        for Xb in batch_iter(X, batch_size=4096):
-            out.append(np.asarray(self._infer_fn(
-                self._params, self._bn_stats, jnp.asarray(Xb))))
+        with hang_watchdog_window():
+            for Xb in batch_iter(X, batch_size=4096):
+                out.append(np.asarray(self._infer_fn(
+                    self._params, self._bn_stats, jnp.asarray(Xb))))
+                heartbeat()
         return np.concatenate(out, 0)
 
     def predict(self, X):
