@@ -268,7 +268,7 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
                      propup_mult, propdown_mult,
                      l2, sparsity_target, sparsity_cost, sparsity_damping,
                      metrics_every, compute_pll, visible,
-                     hidden='bernoulli', n_samples=None):
+                     hidden='bernoulli', n_samples=None, sub_tiles=1):
     i = pl.program_id(0)
     pltpu.prng_seed(scalars_ref[0], i)
     lr = sched_ref[0]
@@ -318,9 +318,6 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
             return _multinomial_sample_bits(means, n_samples)
         return (_uniform_bits(means.shape) < means).astype(f32)
 
-    h0_means = h_activation(X)
-    h_states = h_sample(h0_means) if sample_h_states else h0_means
-
     def v_activation(h_states):
         if visible == 'gaussian':
             # GaussianLayer.activation(mult*x, mult*vb) = mult*x*sigma+mult*vb
@@ -332,29 +329,103 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
             return v_means + _normal_from_bits(v_means.shape) * sigma_ref[:]
         return (_uniform_bits(v_means.shape) < v_means).astype(f32)
 
-    v_means = X
-    v_states = X  # defined for the degenerate k=0 case (zero dW gradient;
-    #               the reference crashes outright on n_gibbs_steps=0)
-    h_means = h0_means
-    for _step in range(k):
-        v_means = v_activation(h_states)
-        v_states = v_sample(v_means) if sample_v_states else v_means
-        h_means = h_activation(v_states)
-        h_states = h_sample(h_means) if sample_h_states else h_means
-
     N = f32(batch_size)
-    # positive - negative associations (all on the MXU)
-    dW_pos = jax.lax.dot_general(X, h0_means, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dW_neg = jax.lax.dot_general(v_states, h_means, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
+    if sub_tiles == 1:
+        h0_means = h_activation(X)
+        h_states = h_sample(h0_means) if sample_h_states else h0_means
+
+        v_means = X
+        v_states = X  # defined for the degenerate k=0 case (zero dW gradient;
+        #               the reference crashes outright on n_gibbs_steps=0)
+        h_means = h0_means
+        for _step in range(k):
+            v_means = v_activation(h_states)
+            v_states = v_sample(v_means) if sample_v_states else v_means
+            h_means = h_activation(v_states)
+            h_states = h_sample(h_means) if sample_h_states else h_means
+
+        # positive - negative associations (all on the MXU)
+        dW_pos = jax.lax.dot_general(X, h0_means, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dW_neg = jax.lax.dot_general(v_states, h_means,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dvb_grad = jnp.mean(X - v_states, axis=0, keepdims=True)
+        dhb_grad = jnp.mean(h0_means - h_means, axis=0, keepdims=True)
+        h_neg_sum = jnp.sum(h_means, axis=0, keepdims=True)
+        msre_mean = jnp.mean(jnp.square(X - v_means))
+    else:
+        # Stage-major batch sub-tiling: the CD chain's five dependent dots
+        # serialize the MXU against the VPU activation/sampling pipeline
+        # (the measured ~6 us/step residual of the headline roofline,
+        # RESULTS.md).  Splitting the batch into `sub_tiles` independent
+        # chunks and issuing each chain STAGE for all chunks before the
+        # next stage gives the Mosaic scheduler software-pipelining slack:
+        # while chunk A's activations run on the VPU, chunk B's dot of the
+        # same stage occupies the MXU.  Identical math per chunk; the
+        # PRNG-draw order differs from sub_tiles=1 (documented trajectory
+        # divergence -- still deterministic for a fixed seed+config).
+        C = batch_size // sub_tiles
+        Xc = [X[c * C:(c + 1) * C] for c in range(sub_tiles)]
+
+        def h_stage(srcs):
+            pres = [propup(s) for s in srcs]          # MXU, back to back
+            means = []
+            for p in pres:                            # VPU, overlaps MXU
+                pre = up * (p + hb)
+                if hidden == 'multinomial':
+                    m = jnp.max(pre, axis=1, keepdims=True)
+                    e = jnp.exp(pre - m)
+                    means.append(f32(n_samples) * e /
+                                 jnp.sum(e, axis=1, keepdims=True))
+                else:
+                    means.append(jax.nn.sigmoid(pre))
+            return means
+
+        def v_stage(h_srcs):
+            pres = [propdown(h) for h in h_srcs]
+            if visible == 'gaussian':
+                return [down * p * sigma_ref[:] + down * vb for p in pres]
+            return [jax.nn.sigmoid(down * (p + vb)) for p in pres]
+
+        h0m_c = h_stage(Xc)
+        hst_c = [h_sample(m) for m in h0m_c] if sample_h_states else h0m_c
+
+        vm_c = list(Xc)
+        vs_c = list(Xc)
+        hm_c = list(h0m_c)
+        for _step in range(k):
+            vm_c = v_stage(hst_c)
+            vs_c = ([v_sample(m) for m in vm_c]
+                    if sample_v_states else vm_c)
+            hm_c = h_stage(vs_c)
+            hst_c = ([h_sample(m) for m in hm_c]
+                     if sample_h_states else hm_c)
+
+        pos_c = [jax.lax.dot_general(x, h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+                 for x, h in zip(Xc, h0m_c)]
+        neg_c = [jax.lax.dot_general(v, h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+                 for v, h in zip(vs_c, hm_c)]
+        dW_pos = functools.reduce(jnp.add, pos_c)
+        dW_neg = functools.reduce(jnp.add, neg_c)
+        dvb_grad = functools.reduce(jnp.add, [
+            jnp.sum(x - v, axis=0, keepdims=True)
+            for x, v in zip(Xc, vs_c)]) / N
+        dhb_grad = functools.reduce(jnp.add, [
+            jnp.sum(h0 - h, axis=0, keepdims=True)
+            for h0, h in zip(h0m_c, hm_c)]) / N
+        h_neg_sum = functools.reduce(jnp.add, [
+            jnp.sum(h, axis=0, keepdims=True) for h in hm_c])
+        msre_mean = functools.reduce(jnp.add, [
+            jnp.sum(jnp.square(x - v))
+            for x, v in zip(Xc, vm_c)]) / f32(batch_size * n_visible)
+
     dW_grad = (dW_pos - dW_neg) / N - f32(l2) * W
-    dvb_grad = jnp.mean(X - v_states, axis=0, keepdims=True)
-    dhb_grad = jnp.mean(h0_means - h_means, axis=0, keepdims=True)
 
     damp = f32(sparsity_damping)
-    q_new = damp * q_o[:] + (1. - damp) * jnp.sum(h_means, axis=0,
-                                                  keepdims=True)
+    q_new = damp * q_o[:] + (1. - damp) * h_neg_sum
     penalty = f32(sparsity_cost) * (q_new - f32(sparsity_target))
     q_o[:] = q_new
 
@@ -371,7 +442,7 @@ def _cd_epoch_kernel(scalars_ref, sched_ref, x_ref, sigma_ref,
 
     # ---- metrics (logged every `metrics_every` iterations) ----
     want = (it % jnp.uint32(metrics_every)) == 0
-    msre_val = jnp.where(want, jnp.mean(jnp.square(X - v_means)), f32(0.))
+    msre_val = jnp.where(want, msre_mean, f32(0.))
     msre_o[pl.ds(i, 1), :] = jnp.full((1, 128), msre_val, dtype=f32)
 
     # per-iteration l2 loss on the post-update weights -- same cadence and
@@ -1140,7 +1211,7 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
                          sparsity_damping, metrics_every,
                          compute_pll=True, interpret=False,
                          visible='bernoulli', sigma=None,
-                         hidden='bernoulli', n_samples=None):
+                         hidden='bernoulli', n_samples=None, sub_tiles=1):
     """Build the fused CD-k epoch program for an RBM with Bernoulli or
     Gaussian (fixed-sigma) visible units and Bernoulli (sigmoid) or
     Multinomial (`n_samples` tied softmax draws) hidden units.
@@ -1149,11 +1220,22 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
     ``(state, msre_per_batch, pll_per_batch)`` where `X_batches` is
     (n_batches, batch_size, n_visible) float32 and `state` is the BaseRBM
     state dict.  One kernel launch per epoch; W stays in VMEM throughout.
+
+    ``sub_tiles`` > 1 splits each batch into that many chunks computed
+    stage-major through the CD chain so the VPU pipeline of one chunk
+    overlaps the MXU dot of the next (see _cd_epoch_kernel); the batch
+    size must divide evenly.  Math is identical up to f32 accumulation
+    order; the PRNG-draw order (hence the sampled trajectory for a fixed
+    seed) differs from ``sub_tiles=1``.
     """
     V, H, B = n_visible, n_hidden, batch_size
     assert visible in ('bernoulli', 'gaussian')
     assert hidden in ('bernoulli', 'multinomial')
     assert hidden == 'bernoulli' or n_samples is not None
+    sub_tiles = int(sub_tiles)
+    if sub_tiles < 1 or B % sub_tiles != 0:
+        raise ValueError('sub_tiles=%d must be >=1 and divide batch_size=%d'
+                         % (sub_tiles, B))
     sigma_arr = (np.ones((1, V), np.float32) if sigma is None
                  else np.broadcast_to(
                      np.asarray(sigma, np.float32).reshape(1, -1),
@@ -1166,7 +1248,7 @@ def make_cd_epoch_kernel(n_visible, n_hidden, batch_size, k,
         l2=l2, sparsity_target=sparsity_target, sparsity_cost=sparsity_cost,
         sparsity_damping=sparsity_damping, metrics_every=metrics_every,
         compute_pll=compute_pll, visible=visible,
-        hidden=hidden, n_samples=n_samples)
+        hidden=hidden, n_samples=n_samples, sub_tiles=sub_tiles)
 
     def const2d(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),

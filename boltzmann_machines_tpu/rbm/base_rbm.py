@@ -898,6 +898,19 @@ class BaseRBM(EnergyBasedModel):
                              'not eligible for the fused CD epoch kernel')
         return ok
 
+    def _cd_sub_tiles(self, hid):
+        """Batch sub-tiling factor for the fused CD epoch kernel.
+
+        ``BMT_CD_SUBTILES`` overrides (any divisor of the batch size);
+        unset/0 means auto.  Auto keeps 1 unless measurement recorded in
+        RESULTS.md shows stage-major sub-tiling beating the monolithic
+        chain for a shape class.
+        """
+        raw = int(os.environ.get('BMT_CD_SUBTILES', '0') or 0)
+        if raw >= 1:
+            return raw if self.batch_size % raw == 0 else 1
+        return 1
+
     def _pallas_epoch_program(self, k, n_batches):
         from ..ops.pallas_ops import (make_cd_epoch_kernel,
                                       make_tiled_cd_epoch_kernel)
@@ -942,7 +955,8 @@ class BaseRBM(EnergyBasedModel):
             return make_cd_epoch_kernel(
                 self.n_visible, self.n_hidden, self.batch_size, k,
                 compute_pll=bool(self.metrics_config['pll']),
-                hidden=hid, n_samples=n_samples, **common)
+                hidden=hid, n_samples=n_samples,
+                sub_tiles=self._cd_sub_tiles(hid), **common)
 
         # big-model fallback: hidden-tiled kernel with W/dW streamed from
         # HBM (no PLL stream -- keep XLA when PLL logging is requested;

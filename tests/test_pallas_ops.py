@@ -607,6 +607,94 @@ def test_kernel_variants_interpret_match_xla_cpu(flavor, tmp_path):
     assert (pll[~logged] == 0).all()
 
 
+@pytest.mark.parametrize('flavor,sub_tiles', [
+    ('bernoulli', 2), ('bernoulli', 4), ('gaussian', 2)])
+def test_subtiled_epoch_kernel_matches_monolithic(flavor, sub_tiles,
+                                                  tmp_path):
+    """Stage-major batch sub-tiling (`sub_tiles` > 1) is a pure scheduling
+    restructure: with sampling disabled, state trajectories and metric
+    rows (incl. the in-kernel PLL -- no PRNG is consumed before the flip
+    draws when sampling is off, so the flip indices coincide) match the
+    monolithic kernel to f32 accumulation-order tolerance."""
+    from boltzmann_machines_tpu import BernoulliRBM, GaussianRBM
+    from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
+
+    V, H, B, NB = 24, 16, 8, 4
+    cls = BernoulliRBM if flavor == 'bernoulli' else GaussianRBM
+    extra = {} if flavor == 'bernoulli' else dict(sigma=1.)
+    model = cls(n_visible=V, n_hidden=H, batch_size=B, random_seed=1,
+                sample_v_states=False, sample_h_states=False,
+                l2=1e-4, sparsity_cost=1e-4, verbose=False,
+                save_after_each_epoch=False,
+                metrics_config=dict(msre=True, pll=True,
+                                    train_metrics_every_iter=2),
+                model_path=str(tmp_path) + '/', **extra)
+    model._ensure_state()
+    rng = np.random.RandomState(0)
+    X = (rng.randn(NB * B, V).astype(np.float32) if flavor == 'gaussian'
+         else (rng.rand(NB * B, V) < 0.3).astype(np.float32))
+    full, rem, _ = model._stage_batches(X)
+    kw = dict(sample_v_states=False, sample_h_states=False,
+              propup_mult=1., propdown_mult=1., l2=1e-4,
+              sparsity_target=0.1, sparsity_cost=1e-4,
+              sparsity_damping=0.9, metrics_every=2, compute_pll=True,
+              visible=flavor, sigma=extra.get('sigma'), interpret=True)
+    s_mono = jtu.tree_map(jnp.copy, model._state)
+    s_sub = jtu.tree_map(jnp.copy, model._state)
+    ep1 = make_cd_epoch_kernel(V, H, B, k=2, sub_tiles=1, **kw)
+    epn = make_cd_epoch_kernel(V, H, B, k=2, sub_tiles=sub_tiles, **kw)
+    s_mono, msre1, pll1, l21 = ep1(s_mono, full, 1e-2, 0.9, 7, 0)
+    s_sub, msren, plln, l2n = epn(s_sub, full, 1e-2, 0.9, 7, 0)
+    for key in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb', 'q_means'):
+        np.testing.assert_allclose(np.asarray(s_mono[key]),
+                                   np.asarray(s_sub[key]),
+                                   atol=3e-5, err_msg=key)
+    np.testing.assert_allclose(np.asarray(msre1), np.asarray(msren),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pll1), np.asarray(plln),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(l21), np.asarray(l2n), rtol=1e-4)
+
+    # invalid factors are rejected up front
+    with pytest.raises(ValueError):
+        make_cd_epoch_kernel(V, H, B, k=1, sub_tiles=3, **kw)
+
+
+def test_subtiled_kernel_sampling_on_deterministic(tmp_path):
+    """With sampling ON the sub-tiled kernel is still deterministic for a
+    fixed seed (its own PRNG-draw order), produces valid Bernoulli states
+    (binary h implies integer-coupled stats), and actually trains."""
+    from boltzmann_machines_tpu import BernoulliRBM
+    from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
+
+    V, H, B, NB = 24, 16, 8, 4
+    model = BernoulliRBM(n_visible=V, n_hidden=H, batch_size=B,
+                         random_seed=1, verbose=False,
+                         save_after_each_epoch=False,
+                         metrics_config=dict(msre=True,
+                                             train_metrics_every_iter=1),
+                         model_path=str(tmp_path) + '/')
+    model._ensure_state()
+    X = (np.random.RandomState(0).rand(NB * B, V) < 0.3).astype(np.float32)
+    full, rem, _ = model._stage_batches(X)
+    kw = dict(sample_v_states=True, sample_h_states=True,
+              propup_mult=1., propdown_mult=1., l2=0., sparsity_target=0.1,
+              sparsity_cost=0., sparsity_damping=0.9, metrics_every=1,
+              compute_pll=False, interpret=True)
+    ep = make_cd_epoch_kernel(V, H, B, k=1, sub_tiles=2, **kw)
+    sa = jtu.tree_map(jnp.copy, model._state)
+    sb = jtu.tree_map(jnp.copy, model._state)
+    sa, msre_a, _, _ = ep(sa, full, 1e-2, 0.9, 7, 0)
+    sb, msre_b, _, _ = ep(sb, full, 1e-2, 0.9, 7, 0)
+    for key in ('W', 'vb', 'hb', 'dW'):
+        np.testing.assert_array_equal(np.asarray(sa[key]),
+                                      np.asarray(sb[key]), err_msg=key)
+    assert not np.array_equal(np.asarray(sa['W']),
+                              np.asarray(model._state['W']))
+    assert np.isfinite(np.asarray(msre_a)).all()
+    assert (np.asarray(msre_a) > 0).all()
+
+
 def test_tiled_kernel_interpret_matches_xla_cpu(tmp_path):
     """Interpret-mode CPU golden for the hidden-tiled (HBM-streamed W/dW,
     double-buffered DMA) kernel, including the lane-padding mask (H=16

@@ -76,6 +76,12 @@ def main():
         ('sampling OFF (k=1)', dict(k=1, sv=False, sh=False)),
         ('k=2, sampling on', dict(k=2, sv=True, sh=True)),
         ('k=2, sampling OFF', dict(k=2, sv=False, sh=False)),
+        # stage-major batch sub-tiling: attack the serialized VPU<->MXU
+        # dependency chain (the ~6 us/step residual of the round-5 table)
+        ('k=1 on, sub_tiles=2', dict(k=1, sv=True, sh=True, st=2)),
+        ('k=1 on, sub_tiles=4', dict(k=1, sv=True, sh=True, st=4)),
+        ('k=1 on, sub_tiles=8', dict(k=1, sv=True, sh=True, st=8)),
+        ('k=2 on, sub_tiles=4', dict(k=2, sv=True, sh=True, st=4)),
     ]
     steps = NB
     print('shape %dx%d batch %d, %d steps/epoch' % (V, H, B, steps))
@@ -84,7 +90,8 @@ def main():
             V, H, B, k=cfg['k'], sample_v_states=cfg['sv'],
             sample_h_states=cfg['sh'], propup_mult=1., propdown_mult=1.,
             l2=1e-5, sparsity_target=0.1, sparsity_cost=1e-5,
-            sparsity_damping=0.9, metrics_every=10 ** 9, compute_pll=False)
+            sparsity_damping=0.9, metrics_every=10 ** 9, compute_pll=False,
+            sub_tiles=cfg.get('st', 1))
         state = jtu.tree_map(jnp.copy, rbm._state)
         t = bench(ep, state, full)
         us = t / steps * 1e6
