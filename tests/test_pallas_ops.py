@@ -608,7 +608,8 @@ def test_kernel_variants_interpret_match_xla_cpu(flavor, tmp_path):
 
 
 @pytest.mark.parametrize('flavor,sub_tiles', [
-    ('bernoulli', 2), ('bernoulli', 4), ('gaussian', 2)])
+    ('bernoulli', 2), ('bernoulli', 4), ('gaussian', 2),
+    ('multinomial', 2)])
 def test_subtiled_epoch_kernel_matches_monolithic(flavor, sub_tiles,
                                                   tmp_path):
     """Stage-major batch sub-tiling (`sub_tiles` > 1) is a pure scheduling
@@ -616,12 +617,15 @@ def test_subtiled_epoch_kernel_matches_monolithic(flavor, sub_tiles,
     rows (incl. the in-kernel PLL -- no PRNG is consumed before the flip
     draws when sampling is off, so the flip indices coincide) match the
     monolithic kernel to f32 accumulation-order tolerance."""
-    from boltzmann_machines_tpu import BernoulliRBM, GaussianRBM
+    from boltzmann_machines_tpu import (BernoulliRBM, GaussianRBM,
+                                        MultinomialRBM)
     from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
 
     V, H, B, NB = 24, 16, 8, 4
-    cls = BernoulliRBM if flavor == 'bernoulli' else GaussianRBM
-    extra = {} if flavor == 'bernoulli' else dict(sigma=1.)
+    cls = {'bernoulli': BernoulliRBM, 'gaussian': GaussianRBM,
+           'multinomial': MultinomialRBM}[flavor]
+    extra = ({'sigma': 1.} if flavor == 'gaussian'
+             else {'n_samples': 12} if flavor == 'multinomial' else {})
     model = cls(n_visible=V, n_hidden=H, batch_size=B, random_seed=1,
                 sample_v_states=False, sample_h_states=False,
                 l2=1e-4, sparsity_cost=1e-4, verbose=False,
@@ -638,7 +642,11 @@ def test_subtiled_epoch_kernel_matches_monolithic(flavor, sub_tiles,
               propup_mult=1., propdown_mult=1., l2=1e-4,
               sparsity_target=0.1, sparsity_cost=1e-4,
               sparsity_damping=0.9, metrics_every=2, compute_pll=True,
-              visible=flavor, sigma=extra.get('sigma'), interpret=True)
+              visible=('gaussian' if flavor == 'gaussian' else 'bernoulli'),
+              sigma=extra.get('sigma'),
+              hidden=('multinomial' if flavor == 'multinomial'
+                      else 'bernoulli'),
+              n_samples=extra.get('n_samples'), interpret=True)
     s_mono = jtu.tree_map(jnp.copy, model._state)
     s_sub = jtu.tree_map(jnp.copy, model._state)
     ep1 = make_cd_epoch_kernel(V, H, B, k=2, sub_tiles=1, **kw)
