@@ -1086,7 +1086,7 @@ def make_tiled_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
 def _cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_ref, vb_ref, hb_ref,
                      assoc_o, dvb_o, dhb_o, hsum_o, vmeans_o,
                      *, k, sample_v_states, sample_h_states,
-                     propup_mult, propdown_mult, visible):
+                     propup_mult, propdown_mult, visible, sub_tiles=1):
     """Per-shard CD-k sufficient statistics (no parameter update): the raw
     sums whose cross-chip ``psum`` equals the full-batch statistics of
     `BaseRBM._cd_stats`.  Used inside the shard_map data-parallel epoch so
@@ -1112,12 +1112,6 @@ def _cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_ref, vb_ref, hb_ref,
         return jax.lax.dot_general(h, W, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
-    h0_means = jax.nn.sigmoid(up * (propup(X) + hb))
-    if sample_h_states:
-        h_states = (_uniform_bits(h0_means.shape) < h0_means).astype(f32)
-    else:
-        h_states = h0_means
-
     def v_activation(h_states):
         if visible == 'gaussian':
             return down * propdown(h_states) * sigma_ref[:] + down * vb
@@ -1128,31 +1122,92 @@ def _cd_stats_kernel(seed_ref, x_ref, sigma_ref, W_ref, vb_ref, hb_ref,
             return v_means + _normal_from_bits(v_means.shape) * sigma_ref[:]
         return (_uniform_bits(v_means.shape) < v_means).astype(f32)
 
-    v_means = X
-    v_states = X
-    h_means = h0_means
-    for _step in range(k):
-        v_means = v_activation(h_states)
-        v_states = v_sample(v_means) if sample_v_states else v_means
-        h_means = jax.nn.sigmoid(up * (propup(v_states) + hb))
-        h_states = ((_uniform_bits(h_means.shape) < h_means).astype(f32)
-                    if sample_h_states else h_means)
+    if sub_tiles == 1:
+        h0_means = jax.nn.sigmoid(up * (propup(X) + hb))
+        if sample_h_states:
+            h_states = (_uniform_bits(h0_means.shape) < h0_means).astype(f32)
+        else:
+            h_states = h0_means
 
-    pos = jax.lax.dot_general(X, h0_means, (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32)
-    neg = jax.lax.dot_general(v_states, h_means, (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32)
-    assoc_o[:] = pos - neg
-    dvb_o[:] = jnp.sum(X - v_states, axis=0, keepdims=True)
-    dhb_o[:] = jnp.sum(h0_means - h_means, axis=0, keepdims=True)
-    hsum_o[:] = jnp.sum(h_means, axis=0, keepdims=True)
-    vmeans_o[:] = v_means
+        v_means = X
+        v_states = X
+        h_means = h0_means
+        for _step in range(k):
+            v_means = v_activation(h_states)
+            v_states = v_sample(v_means) if sample_v_states else v_means
+            h_means = jax.nn.sigmoid(up * (propup(v_states) + hb))
+            h_states = ((_uniform_bits(h_means.shape) < h_means).astype(f32)
+                        if sample_h_states else h_means)
+
+        pos = jax.lax.dot_general(X, h0_means, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        neg = jax.lax.dot_general(v_states, h_means,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        assoc_o[:] = pos - neg
+        dvb_o[:] = jnp.sum(X - v_states, axis=0, keepdims=True)
+        dhb_o[:] = jnp.sum(h0_means - h_means, axis=0, keepdims=True)
+        hsum_o[:] = jnp.sum(h_means, axis=0, keepdims=True)
+        vmeans_o[:] = v_means
+    else:
+        # stage-major batch sub-tiling -- same restructure as
+        # _cd_epoch_kernel's sub_tiles branch: chunk A's VPU
+        # activation/sampling overlaps chunk B's MXU dot of the same
+        # chain stage (see the long comment there)
+        B = X.shape[0]
+        C = B // sub_tiles
+        Xc = [X[c * C:(c + 1) * C] for c in range(sub_tiles)]
+
+        def h_stage(srcs):
+            pres = [propup(s) for s in srcs]
+            return [jax.nn.sigmoid(up * (p + hb)) for p in pres]
+
+        def v_stage(h_srcs):
+            pres = [propdown(h) for h in h_srcs]
+            if visible == 'gaussian':
+                return [down * p * sigma_ref[:] + down * vb for p in pres]
+            return [jax.nn.sigmoid(down * (p + vb)) for p in pres]
+
+        def bern(ms):
+            return [(_uniform_bits(m.shape) < m).astype(f32) for m in ms]
+
+        h0m_c = h_stage(Xc)
+        hst_c = bern(h0m_c) if sample_h_states else h0m_c
+        vm_c = list(Xc)
+        vs_c = list(Xc)
+        hm_c = list(h0m_c)
+        for _step in range(k):
+            vm_c = v_stage(hst_c)
+            vs_c = ([v_sample(m) for m in vm_c]
+                    if sample_v_states else vm_c)
+            hm_c = h_stage(vs_c)
+            hst_c = bern(hm_c) if sample_h_states else hm_c
+
+        pos_c = [jax.lax.dot_general(x, h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+                 for x, h in zip(Xc, h0m_c)]
+        neg_c = [jax.lax.dot_general(v, h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+                 for v, h in zip(vs_c, hm_c)]
+        assoc_o[:] = (functools.reduce(jnp.add, pos_c)
+                      - functools.reduce(jnp.add, neg_c))
+        dvb_o[:] = functools.reduce(jnp.add, [
+            jnp.sum(x - v, axis=0, keepdims=True)
+            for x, v in zip(Xc, vs_c)])
+        dhb_o[:] = functools.reduce(jnp.add, [
+            jnp.sum(h0 - h, axis=0, keepdims=True)
+            for h0, h in zip(h0m_c, hm_c)])
+        hsum_o[:] = functools.reduce(jnp.add, [
+            jnp.sum(h, axis=0, keepdims=True) for h in hm_c])
+        for c in range(sub_tiles):
+            vmeans_o[c * C:(c + 1) * C] = vm_c[c]
 
 
 def make_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
                          sample_v_states, sample_h_states,
                          propup_mult, propdown_mult,
-                         visible='bernoulli', sigma=None, interpret=False):
+                         visible='bernoulli', sigma=None, interpret=False,
+                         sub_tiles=1):
     """Build ``stats(state, X_local, seed, it, shard) -> (stats, aux)`` for
     one shard-local minibatch: `stats` matches `BaseRBM._cd_stats` (assoc /
     dvb_sum / dhb_sum / h_sum raw sums, psum-able across the data axis) and
@@ -1165,11 +1220,15 @@ def make_cd_stats_kernel(n_visible, n_hidden, batch_size, k,
                      np.asarray(sigma, np.float32).reshape(1, -1),
                      (1, V)).copy())
 
+    sub_tiles = int(sub_tiles)
+    if sub_tiles < 1 or B % sub_tiles != 0:
+        raise ValueError('sub_tiles=%d must be >=1 and divide the local '
+                         'batch size %d' % (sub_tiles, B))
     kern = functools.partial(
         _cd_stats_kernel, k=k,
         sample_v_states=sample_v_states, sample_h_states=sample_h_states,
         propup_mult=propup_mult, propdown_mult=propdown_mult,
-        visible=visible)
+        visible=visible, sub_tiles=sub_tiles)
 
     def stats(state, X_batch, seed, it, shard):
         f32 = jnp.float32

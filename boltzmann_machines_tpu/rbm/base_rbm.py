@@ -593,6 +593,10 @@ class BaseRBM(EnergyBasedModel):
             kind, sigma = self._pallas_visible_kind()
             maker = (make_cd_stats_kernel if stats_mode == 'resident'
                      else make_tiled_cd_stats_kernel)
+            extra = {}
+            if stats_mode == 'resident':
+                extra['sub_tiles'] = self._cd_sub_tiles(
+                    self._pallas_hidden_kind()[0], N_global // nsh)
             stats_fn = maker(
                 V, self.n_hidden, N_global // nsh, k,
                 sample_v_states=self.sample_v_states,
@@ -602,7 +606,7 @@ class BaseRBM(EnergyBasedModel):
                 visible=kind, sigma=sigma,
                 # forced eligibility on a non-TPU backend (CPU-mesh tests,
                 # dryrun_multichip) runs the kernel in interpret mode
-                interpret=(jax.default_backend() != 'tpu'))
+                interpret=(jax.default_backend() != 'tpu'), **extra)
 
         # metrics that can never fire (cadence beyond any real run) are
         # compiled OUT: no per-step cond, no key folds the stats kernel
@@ -898,17 +902,19 @@ class BaseRBM(EnergyBasedModel):
                              'not eligible for the fused CD epoch kernel')
         return ok
 
-    def _cd_sub_tiles(self, hid):
-        """Batch sub-tiling factor for the fused CD epoch kernel.
+    def _cd_sub_tiles(self, hid, batch_size=None):
+        """Batch sub-tiling factor for the fused CD epoch/stats kernels.
 
-        ``BMT_CD_SUBTILES`` overrides (any divisor of the batch size);
-        unset/0 means auto.  Auto keeps 1 unless measurement recorded in
-        RESULTS.md shows stage-major sub-tiling beating the monolithic
-        chain for a shape class.
+        ``BMT_CD_SUBTILES`` overrides (any divisor of the batch size --
+        the per-shard local batch on the mesh path); unset/0 means auto.
+        Auto keeps 1 unless measurement recorded in RESULTS.md shows
+        stage-major sub-tiling beating the monolithic chain for a shape
+        class.
         """
+        b = self.batch_size if batch_size is None else int(batch_size)
         raw = int(os.environ.get('BMT_CD_SUBTILES', '0') or 0)
         if raw >= 1:
-            return raw if self.batch_size % raw == 0 else 1
+            return raw if b % raw == 0 else 1
         return 1
 
     def _pallas_epoch_program(self, k, n_batches):

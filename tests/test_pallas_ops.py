@@ -19,7 +19,8 @@ requires_tpu = pytest.mark.skipif(
 
 
 @requires_tpu
-def test_cd_epoch_kernel_matches_xla_path(tmp_path):
+@pytest.mark.parametrize('sub_tiles', [1, 2])
+def test_cd_epoch_kernel_matches_xla_path(sub_tiles, tmp_path):
     from boltzmann_machines_tpu import BernoulliRBM
     from boltzmann_machines_tpu.ops import make_cd_epoch_kernel
 
@@ -46,7 +47,8 @@ def test_cd_epoch_kernel_matches_xla_path(tmp_path):
     ep_pal = make_cd_epoch_kernel(
         V, H, B, k=1, sample_v_states=False, sample_h_states=False,
         propup_mult=1., propdown_mult=1., l2=1e-5, sparsity_target=0.1,
-        sparsity_cost=1e-5, sparsity_damping=0.9, metrics_every=4)
+        sparsity_cost=1e-5, sparsity_damping=0.9, metrics_every=4,
+        sub_tiles=sub_tiles)
     s_pal, msre, pll, l2row = ep_pal(s_pal_in, full, 0.05, 0.9, 7, 0)
 
     for k in ('W', 'vb', 'hb', 'dW', 'dvb', 'dhb'):
@@ -740,10 +742,12 @@ def test_tiled_kernel_interpret_matches_xla_cpu(tmp_path):
                                np.asarray(msre)[mask], atol=1e-5)
 
 
-def test_cd_stats_kernel_interpret_matches_lax_cpu(tmp_path):
+@pytest.mark.parametrize('sub_tiles', [1, 2, 4])
+def test_cd_stats_kernel_interpret_matches_lax_cpu(sub_tiles, tmp_path):
     """Interpret-mode CPU golden for the shard-local CD stats kernel: the
     psum-able raw sums match `BaseRBM._cd_stats` (the lax twin the CPU
-    mesh tests run) with sampling disabled."""
+    mesh tests run) with sampling disabled -- monolithic and stage-major
+    sub-tiled variants alike."""
     from boltzmann_machines_tpu import BernoulliRBM
     from boltzmann_machines_tpu.ops.pallas_ops import make_cd_stats_kernel
 
@@ -760,7 +764,8 @@ def test_cd_stats_kernel_interpret_matches_lax_cpu(tmp_path):
                                        jax.random.PRNGKey(0))
     stats_fn = make_cd_stats_kernel(V, H, B, k=1, sample_v_states=False,
                                     sample_h_states=False, propup_mult=1.,
-                                    propdown_mult=1., interpret=True)
+                                    propdown_mult=1., interpret=True,
+                                    sub_tiles=sub_tiles)
     stats_pal, aux_pal = stats_fn(rbm._state, X, 7, 1, 0)
     for k in stats_lax:
         np.testing.assert_allclose(np.asarray(stats_lax[k]),
